@@ -1,0 +1,238 @@
+"""Differentiable tile rasterizer: the orchestrating JAX function.
+
+TPU-native equivalent of the reference's `rasterize`/`∇rasterize`/`rrule`
+(reference: src/rasterization/rasterizer.jl:255-573) — but where the
+reference hand-stitches seven kernels and a hand-derived backward, here the
+*whole pipeline is one differentiable JAX function*:
+
+    project (autodiff) → SH (autodiff) → instance binning (integer,
+    stop-grad) → per-instance gather (autodiff: its transpose is the
+    per-Gaussian segment-sum that replaces the reference's @atomic
+    accumulation, render.jl:242-282) → blend (Pallas custom_vjp, or the
+    pure-JAX scan fallback) → background composite & channel assembly
+    (autodiff).
+
+Static shapes throughout: Gaussian count N is whatever the caller pads to;
+the instance budget is `RasterizerConfig.max_instances` with a traced
+overflow flag (see ops/tiles.py).
+
+Modes match the reference (rasterizer.jl:47-51): :rgb → 3 channels,
+:rgbd → +depth+alpha, :rgbdn → +camera-space normal. The alpha map is
+derived as 1 − T_final instead of compositing a constant-1 feature row
+(rasterizer.jl:383); the gradient path through T_final's cotangent is
+mathematically identical to the reference's channel-5 trick.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera
+from ..constants import CHUNK, FAR_PLANE, NEAR_PLANE, TILE, blend_features, n_color_features
+from . import tiles
+from .blend_scan import F_PAD, ROW_FEAT, blend_scan
+from .projection import project
+from .sh import sh_to_rgb
+
+
+@dataclass(frozen=True)
+class RasterizerConfig:
+    width: int
+    height: int
+    mode: str = "rgbd"  # rgb | rgbd | rgbdn
+    max_instances: int = 1 << 20
+    chunk: int = CHUNK
+    near_plane: float = NEAR_PLANE
+    far_plane: float = FAR_PLANE
+    impl: str = "pallas"  # pallas | scan
+
+    def __post_init__(self):
+        assert self.width % TILE == 0 and self.height % TILE == 0, (
+            "Resolution must be a multiple of 16 (reference rasterizer.jl:66)."
+        )
+        n_color_features(self.mode)  # validate
+
+    @property
+    def grid_wh(self) -> tuple[int, int]:
+        return tiles.tile_grid(self.width, self.height)
+
+    @property
+    def n_feat(self) -> int:
+        return blend_features(self.mode)
+
+
+def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats):
+    """Build the (F_PAD, I_pad) instance table from per-Gaussian arrays.
+
+    Gathers are differentiable: their transpose scatter-adds per-instance
+    cotangents back onto Gaussians (one XLA segment-sum per array).
+    """
+    N = mean_2d.shape[0]
+    ids = jnp.clip(padded_ids, 0, N - 1)
+    m = (padded_ids >= 0).astype(jnp.float32)
+    rows = [
+        mean_2d[ids, 0],
+        mean_2d[ids, 1],
+        conic[ids, 0],
+        conic[ids, 1],
+        conic[ids, 2],
+        opacities[ids] * m,  # masked: padding slots never contribute
+    ]
+    rows.extend(feats[ids, c] for c in range(feats.shape[1]))
+    table = jnp.stack(rows, axis=0)
+    pad = F_PAD - table.shape[0]
+    if pad > 0:
+        table = jnp.concatenate([table, jnp.zeros((pad, table.shape[1]), table.dtype)], axis=0)
+    return table
+
+
+def _assemble_image(color_tiles, grid_wh, n_feat):
+    """(T, 256, C) tile-major → (H, W, C) image."""
+    gx, gy = grid_wh
+    img = color_tiles.reshape(gy, gx, TILE, TILE, n_feat)
+    return img.transpose(0, 2, 1, 3, 4).reshape(gy * TILE, gx * TILE, n_feat)
+
+
+def render(
+    means,  # (N, 3)
+    opacities_raw,  # (N,) pre-sigmoid
+    scales_raw,  # (N, 3) or (N, 1) pre-exp (1 = isotropic)
+    rotations,  # (N, 4) wxyz, unnormalized
+    sh_dc,  # (N, 1, 3)
+    sh_rest,  # (N, K-1, 3)
+    **kwargs,
+):
+    """Activation wrapper: sigmoid(opacity), exp(scale) with isotropic
+    broadcast, SH concat — the reference rasterizer's functor path
+    (rasterizer.jl:200-253) — then `rasterize`."""
+    opacities = jax.nn.sigmoid(opacities_raw)
+    scales = jnp.exp(scales_raw)
+    if scales.shape[1] == 1:
+        scales = jnp.broadcast_to(scales, (scales.shape[0], 3))
+    shs = jnp.concatenate([sh_dc, sh_rest], axis=1) if sh_rest.shape[1] else sh_dc
+    return rasterize(means, rotations, scales, opacities, shs, **kwargs)
+
+
+def rasterize(
+    means,  # (N, 3)
+    quats,  # (N, 4) wxyz
+    scales,  # (N, 3) activated (exp applied)
+    opacities,  # (N,) activated (sigmoid applied)
+    shs,  # (N, K, 3)
+    *,
+    camera: Camera,
+    config: RasterizerConfig,
+    sh_degree,  # traced int
+    background=None,  # (3,)
+    R_w2c=None,
+    t_w2c=None,  # optional pose override (camera pose optimization)
+    means2d_probe=None,  # (N, 2) zeros; gradient w.r.t. it = ∇means_2d stats
+):
+    """Render. Returns (image (H, W, C_mode), aux dict)."""
+    mode = config.mode
+    with_normal = mode == "rgbdn"
+    R = camera.R if R_w2c is None else R_w2c
+    t = camera.t if t_w2c is None else t_w2c
+    if background is None:
+        background = jnp.zeros(3, jnp.float32)
+
+    resolution_wh = jnp.array([config.width, config.height], jnp.float32)
+    principal_px = camera.principal * resolution_wh
+
+    proj = project(
+        means,
+        quats,
+        scales,
+        R,
+        t,
+        camera.focal,
+        principal_px,
+        resolution_wh,
+        near_plane=config.near_plane,
+        far_plane=config.far_plane,
+        with_normal=with_normal,
+    )
+    mean_2d = proj["mean_2d"]
+    if means2d_probe is not None:
+        mean_2d = mean_2d + means2d_probe
+
+    camera_center = -R.T @ t
+    rgbs = sh_to_rgb(means, shs, camera_center, sh_degree)
+
+    binned = tiles.build_instances(
+        mean_2d,
+        proj["depth"],
+        proj["radius"],
+        grid_wh=config.grid_wh,
+        max_instances=config.max_instances,
+        chunk=config.chunk,
+    )
+
+    feats = [rgbs]
+    if mode in ("rgbd", "rgbdn"):
+        feats.append(proj["depth"][:, None])
+    if with_normal:
+        feats.append(proj["normal"])
+    feats = jnp.concatenate(feats, axis=1)  # (N, C_blend)
+
+    table = _gather_instance_table(binned["padded_ids"], mean_2d, proj["conic"], opacities, feats)
+
+    if config.impl == "scan":
+        color, T_final, n_contrib = blend_scan(
+            table,
+            binned["tile_start"],
+            binned["tile_count"],
+            grid_wh=config.grid_wh,
+            n_feat=config.n_feat,
+            chunk=config.chunk,
+        )
+    elif config.impl == "pallas":
+        from .blend_pallas import blend_pallas
+
+        color, T_final, n_contrib = blend_pallas(
+            table,
+            binned["tile_start"],
+            binned["tile_count"],
+            grid_wh=config.grid_wh,
+            n_feat=config.n_feat,
+            chunk=config.chunk,
+        )
+    else:
+        raise ValueError(f"Unknown blend impl: {config.impl!r}")
+
+    # Background composite: rgb channels only (feature_background,
+    # rasterizer.jl:411-414). depth/normal background is 0.
+    bg_feat = jnp.concatenate([background, jnp.zeros(config.n_feat - 3, jnp.float32)])
+    color = color + T_final[..., None] * bg_feat
+
+    img = _assemble_image(color, config.grid_wh, config.n_feat)
+    T_img = _assemble_image(T_final[..., None], config.grid_wh, 1)[..., 0]
+    alpha = 1.0 - T_img
+
+    if mode == "rgb":
+        image = img
+    elif mode == "rgbd":
+        image = jnp.concatenate([img[..., :3], img[..., 3:4], alpha[..., None]], axis=-1)
+    else:  # rgbdn
+        image = jnp.concatenate(
+            [img[..., :3], img[..., 3:4], alpha[..., None], img[..., 4:7]], axis=-1
+        )
+
+    aux = {
+        "valid": proj["valid"],
+        "radii": proj["radius"],
+        "compensation": proj["compensation"],
+        "depths": proj["depth"],
+        "mean_2d": mean_2d,
+        "alpha": alpha,
+        "T_final": T_img,
+        "n_contrib": _assemble_image(n_contrib[..., None].astype(jnp.float32), config.grid_wh, 1)[
+            ..., 0
+        ].astype(jnp.int32),
+        "n_instances": binned["n_instances"],
+        "overflow": binned["overflow"],
+    }
+    return image, aux

@@ -1,0 +1,152 @@
+"""Tile binning: Gaussian → (tile, depth)-sorted instance lists, static shapes.
+
+TPU-native replacement for the reference's dynamic binning pipeline
+(count_tiles_per_gaussian! → cumsum → host-sync'd n_rendered →
+duplicate_with_keys! → sortperm! → identify_tile_range!, reference:
+src/rasterization/rasterizer.jl:325-378 and src/rasterization/utils.jl).
+
+Redesign for XLA's static-shape world:
+
+- The instance buffer has a *static* capacity (`max_instances`); overflow is
+  reported as a traced flag the host can poll to grow the bucket (replacing
+  the reference's grow-only buffer realloc + `@allowscalar` host sync,
+  rasterizer.jl:333-343).
+- Instance slots are expanded without scatter-per-gaussian: a scatter of
+  gaussian start markers followed by a cumulative max fills each slot with
+  its owning gaussian id, and the slot's rank inside the gaussian's rect
+  gives the tile coordinates.
+- The sort is a lexicographic `lax.sort` over (tile_id, depth) — the
+  reference packs these into a UInt64 key (utils.jl:85-120); multi-key sort
+  is the native XLA spelling.
+- Per-tile ranges come from `searchsorted` instead of a boundary-detect
+  kernel (utils.jl:56-78).
+- NEW vs reference: each tile's instance range is *re-packed to a
+  CHUNK-aligned start*. This gives the Pallas blend kernels disjoint,
+  aligned slabs per tile, which is what makes the atomics-free backward
+  possible (each tile owns whole chunks; per-gaussian reduction then happens
+  through the gather's autodiff transpose = one segment-sum).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CHUNK, TILE
+
+
+def tile_grid(width: int, height: int) -> tuple[int, int]:
+    return (-(-width // TILE), -(-height // TILE))
+
+
+def tile_rect(mean_2d, radius, grid_wh):
+    """Tile bbox [rmin, rmax) of a splat. Reference: get_rect (utils.jl:18-29).
+
+    mean_2d: (..., 2) float; radius: (...,) int32; grid_wh: (2,) int.
+    Returns rmin, rmax int32 arrays of shape (..., 2).
+    """
+    g = jnp.asarray(grid_wh, jnp.int32)
+    r = radius.astype(jnp.float32)[..., None]
+    rmin = jnp.clip(jnp.floor((mean_2d - r) / TILE).astype(jnp.int32), 0, g)
+    # gpu_cld: trunc(floor((x + 15) / 16)) computed in f32.
+    rmax = jnp.clip(jnp.floor((mean_2d + r + (TILE - 1)) / TILE).astype(jnp.int32), 0, g)
+    return rmin, rmax
+
+
+def count_tiles(mean_2d, radius, grid_wh):
+    """Tiles overlapped per Gaussian (0 for culled). utils.jl:122-142."""
+    rmin, rmax = tile_rect(mean_2d, radius, grid_wh)
+    area = (rmax[..., 0] - rmin[..., 0]) * (rmax[..., 1] - rmin[..., 1])
+    return jnp.where(radius > 0, jnp.maximum(area, 0), 0)
+
+
+@partial(jax.jit, static_argnames=("grid_wh", "max_instances", "chunk"))
+def build_instances(
+    mean_2d,  # (N, 2) f32
+    depth,  # (N,) f32 (camera z; > 0 for valid)
+    radius,  # (N,) int32 (0 for culled)
+    *,
+    grid_wh: tuple[int, int],
+    max_instances: int,
+    chunk: int = CHUNK,
+):
+    """Build the chunk-aligned, (tile, depth)-sorted instance table.
+
+    Returns a dict:
+      padded_ids:  (I_pad,) int32 — gaussian id per slot, -1 for padding
+      tile_start:  (T,) int32 — chunk-aligned start slot of each tile
+      tile_count:  (T,) int32 — number of real instances of each tile
+      n_instances: () int32 — total real instances (tiles × gaussians)
+      overflow:    () bool — instance budget exceeded; results are truncated
+
+    I_pad = round_up(max_instances, chunk) + T*chunk is static: the re-packing
+    wastes at most (chunk-1) slots per tile.
+    """
+    gx, gy = grid_wh
+    n_tiles = gx * gy
+    N = mean_2d.shape[0]
+    I = max_instances
+    I_pad = -(-max_instances // chunk) * chunk + n_tiles * chunk
+
+    mean_2d = jax.lax.stop_gradient(mean_2d)
+    depth = jax.lax.stop_gradient(depth)
+
+    rmin, rmax = tile_rect(mean_2d, radius, grid_wh)
+    rect_w = rmax[:, 0] - rmin[:, 0]
+    counts = jnp.where(radius > 0, jnp.maximum(rect_w * (rmax[:, 1] - rmin[:, 1]), 0), 0)
+
+    cum = jnp.cumsum(counts)
+    total = cum[-1] if N > 0 else jnp.int32(0)
+    offsets = cum - counts  # exclusive prefix
+
+    # Fill each slot with its owning gaussian: scatter id+1 at each gaussian's
+    # first slot (max resolves collisions from zero-count gaussians in favor
+    # of the later — real — writer), then a cumulative max.
+    gid1 = jnp.arange(1, N + 1, dtype=jnp.int32)
+    markers = jnp.zeros((I,), jnp.int32).at[offsets].max(
+        jnp.where(counts > 0, gid1, 0), mode="drop"
+    )
+    slot_gid = jax.lax.cummax(markers) - 1  # (I,) gaussian id per slot, -1 if none
+
+    slot = jnp.arange(I, dtype=jnp.int32)
+    slot_valid = (slot < total) & (slot_gid >= 0)
+    g = jnp.clip(slot_gid, 0, max(N - 1, 0))
+
+    rank = slot - offsets[g]
+    w = jnp.maximum(rect_w[g], 1)
+    tx = rmin[g, 0] + rank % w
+    ty = rmin[g, 1] + rank // w
+    tile = jnp.where(slot_valid, ty * gx + tx, n_tiles)
+    dkey = jnp.where(slot_valid, depth[g], jnp.inf)
+
+    sorted_tile, _, sorted_gid = jax.lax.sort(
+        (tile, dkey, jnp.where(slot_valid, g, -1)), num_keys=2
+    )
+
+    tiles_iota = jnp.arange(n_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_tile, tiles_iota, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_tile, tiles_iota, side="right").astype(jnp.int32)
+    tile_count = end - start
+
+    # Chunk-aligned re-pack.
+    pcount = -(-tile_count // chunk) * chunk
+    pcum = jnp.cumsum(pcount)
+    tile_start = (pcum - pcount).astype(jnp.int32)
+    p_total = pcum[-1] if n_tiles > 0 else jnp.int32(0)
+
+    sslot = jnp.arange(I, dtype=jnp.int32)
+    st = jnp.clip(sorted_tile, 0, n_tiles - 1)
+    dest = jnp.where(
+        sorted_tile < n_tiles, tile_start[st] + (sslot - start[st]), I_pad
+    )
+    padded_ids = jnp.full((I_pad,), -1, jnp.int32).at[dest].set(sorted_gid, mode="drop")
+
+    overflow = (total > I) | (p_total > I_pad)
+    return {
+        "padded_ids": padded_ids,
+        "tile_start": tile_start,
+        "tile_count": tile_count,
+        "n_instances": jnp.minimum(total, I),
+        "overflow": overflow,
+    }

@@ -1,0 +1,52 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+Tests run on the CPU backend (Pallas kernels in interpret mode) so they are
+hardware-independent; multi-chip sharding tests use the 8 virtual devices.
+Set GST_TEST_TPU=1 to run on real TPU hardware instead.
+"""
+import os
+import sys
+
+if not os.environ.get("GST_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# Float64 available for precise finite-difference gradchecks; production code
+# paths stay float32 (dtypes are set explicitly throughout gsplat_tpu).
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def finite_difference_grad(f, x, eps=None):
+    """Central-difference gradient of scalar f at x (numpy, float64 internally).
+
+    The reference uses FiniteDifferences.central_fdm(5, 1) against Float32
+    kernels (test/runtests.jl:113-118); here we evaluate f in float64 via its
+    own promotion and use 2nd-order central differences with a per-element
+    step scaled to the argument.
+    """
+    x = np.asarray(x, np.float64)
+    g = np.zeros_like(x)
+    flat = x.reshape(-1)
+    gf = g.reshape(-1)
+    for i in range(flat.size):
+        h = eps if eps is not None else 1e-4 * max(1.0, abs(flat[i]))
+        xp = flat.copy()
+        xm = flat.copy()
+        xp[i] += h
+        xm[i] -= h
+        gf[i] = (f(xp.reshape(x.shape)) - f(xm.reshape(x.shape))) / (2 * h)
+    return g

@@ -1,0 +1,156 @@
+"""End-to-end rasterizer behavior (reference test category 5, runtests.jl:697+)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu import Camera, RasterizerConfig, rasterize
+from gsplat_tpu.ops.sh import rgb_to_sh_dc
+
+
+def make_camera(w=64, h=64):
+    return Camera.create(width=w, height=h, focal=np.array([60.0, 60.0], np.float32))
+
+
+def make_scene(rng, n=50, depth_range=(2.0, 8.0)):
+    means = np.stack(
+        [
+            rng.uniform(-1.5, 1.5, n),
+            rng.uniform(-1.5, 1.5, n),
+            rng.uniform(*depth_range, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = np.exp(rng.uniform(-3.0, -1.5, size=(n, 3))).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, size=n).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    shs = np.asarray(rgb_to_sh_dc(colors))[:, None, :]
+    return means, quats, scales, opac, shs
+
+
+CFG = dict(width=64, height=64, max_instances=4096, chunk=8, impl="scan")
+
+
+def test_forward_smoke_and_background(rng):
+    means, quats, scales, opac, shs = make_scene(rng)
+    cam = make_camera()
+    cfg = RasterizerConfig(mode="rgb", **CFG)
+    bg = jnp.array([1.0, 0.0, 0.5])
+    img, aux = rasterize(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(shs),
+        camera=cam, config=cfg, sh_degree=0, background=bg,
+    )
+    img = np.asarray(img)
+    assert img.shape == (64, 64, 3)
+    assert np.all(np.isfinite(img))
+    assert not bool(aux["overflow"])
+    alpha = np.asarray(aux["alpha"])
+    assert alpha.min() >= 0.0 and alpha.max() <= 1.0
+    # Where nothing was composited, the image is exactly the background.
+    empty = alpha == 0.0
+    if empty.any():
+        np.testing.assert_allclose(
+            img[empty], np.broadcast_to(np.asarray(bg), img[empty].shape), atol=1e-6
+        )
+
+
+def test_gradients_flow_to_all_params(rng):
+    means, quats, scales, opac, shs = make_scene(rng)
+    cam = make_camera()
+    cfg = RasterizerConfig(mode="rgbd", **CFG)
+    target = jnp.zeros((64, 64, 5))
+
+    def loss(means, quats, scales, opac, shs):
+        img, _ = rasterize(means, quats, scales, opac, shs, camera=cam, config=cfg, sh_degree=0)
+        return jnp.mean((img - target) ** 2)
+
+    args = tuple(jnp.asarray(a) for a in (means, quats, scales, opac, shs))
+    grads = jax.grad(loss, argnums=tuple(range(5)))(*args)
+    for name, g in zip(["means", "quats", "scales", "opac", "shs"], grads):
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g)), f"non-finite grad for {name}"
+        assert np.any(g != 0.0), f"zero grad for {name}"
+
+
+def test_rgbd_depth_and_alpha_of_opaque_splat():
+    """A single huge opaque splat: depth channel ≈ its camera depth where
+    alpha saturates; alpha map in (0,1]."""
+    cam = make_camera()
+    cfg = RasterizerConfig(mode="rgbd", **CFG)
+    means = jnp.array([[0.0, 0.0, 4.0]])
+    quats = jnp.array([[1.0, 0, 0, 0]])
+    scales = jnp.full((1, 3), 2.0)
+    opac = jnp.array([0.999])
+    shs = rgb_to_sh_dc(jnp.array([[0.8, 0.2, 0.1]]))[:, None, :]
+    img, aux = rasterize(means, quats, scales, opac, shs, camera=cam, config=cfg, sh_degree=0)
+    img = np.asarray(img)
+    c = img[32, 32]
+    assert c[4] > 0.9  # alpha
+    np.testing.assert_allclose(c[3] / c[4], 4.0, rtol=1e-3)  # depth / alpha
+
+
+def test_rgbdn_frontoparallel_normal():
+    """Flat fronto-parallel Gaussians render normal ≈ -alpha·e3 (the
+    reference's :rgbdn grid test, runtests.jl:697-742)."""
+    cam = make_camera()
+    cfg = RasterizerConfig(mode="rgbdn", **CFG)
+    n = 9
+    g = np.stack(np.meshgrid(np.linspace(-1, 1, 3), np.linspace(-1, 1, 3)), -1).reshape(-1, 2)
+    means = jnp.asarray(np.concatenate([g, np.full((n, 1), 4.0)], 1).astype(np.float32))
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    scales = jnp.tile(jnp.array([[0.5, 0.5, 0.001]]), (n, 1))  # thin in z
+    opac = jnp.full((n,), 0.95)
+    shs = rgb_to_sh_dc(jnp.full((n, 3), 0.5))[:, None, :]
+    img, aux = rasterize(means, quats, scales, opac, shs, camera=cam, config=cfg, sh_degree=0)
+    img = np.asarray(img)
+    assert img.shape == (64, 64, 8)
+    alpha = img[..., 4]
+    normal = img[..., 5:8]
+    mask = alpha > 0.5
+    assert mask.sum() > 100
+    np.testing.assert_allclose(normal[mask][:, 2], -alpha[mask], atol=1e-3)
+    np.testing.assert_allclose(normal[mask][:, :2], 0.0, atol=1e-3)
+
+
+def test_pose_gradients(rng):
+    """Gradients flow into R_w2c/t_w2c (pose optimization path — the
+    reference's atomic vR/vt reduction, projection.jl:243-255, here a plain
+    autodiff sum)."""
+    means, quats, scales, opac, shs = make_scene(rng)
+    cam = make_camera()
+    cfg = RasterizerConfig(mode="rgb", **CFG)
+
+    def loss(R, t):
+        img, _ = rasterize(
+            jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(shs),
+            camera=cam, config=cfg, sh_degree=0, R_w2c=R, t_w2c=t,
+        )
+        return jnp.mean(img**2)
+
+    gR, gt = jax.grad(loss, argnums=(0, 1))(cam.R, cam.t)
+    assert np.all(np.isfinite(np.asarray(gR))) and np.any(np.asarray(gR) != 0)
+    assert np.all(np.isfinite(np.asarray(gt))) and np.any(np.asarray(gt) != 0)
+
+
+def test_means2d_probe_gradient(rng):
+    """The ∇means_2d densification statistic arrives as the gradient w.r.t.
+    the zero probe (replaces the reference's persisted gstate.∇means_2d)."""
+    means, quats, scales, opac, shs = make_scene(rng)
+    cam = make_camera()
+    cfg = RasterizerConfig(mode="rgb", **CFG)
+    probe = jnp.zeros((means.shape[0], 2))
+
+    def loss(probe):
+        img, _ = rasterize(
+            jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(shs),
+            camera=cam, config=cfg, sh_degree=0, means2d_probe=probe,
+        )
+        return jnp.mean(img**2)
+
+    g = np.asarray(jax.grad(loss)(probe))
+    assert np.all(np.isfinite(g))
+    assert np.any(g != 0.0)
