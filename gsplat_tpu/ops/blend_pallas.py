@@ -1,0 +1,530 @@
+"""Tile blend as Pallas TPU kernels (the flagship hot op).
+
+TPU-native re-design of the reference's forward/backward compositing kernels
+(`render!`/`∇render!`, reference: src/rasterization/render.jl:1-286). The
+reference maps one CUDA workgroup per 16x16 tile with 256 threads staging
+256 Gaussians at a time through shared memory, and accumulates backward
+cotangents with global atomics. Here:
+
+  - grid = (n_tiles,); each grid step owns one tile's 256 pixels.
+  - The tile's depth-sorted instances arrive in CHUNK=128-wide slabs,
+    double-buffered HBM->VMEM with async DMA (the chunk-aligned slabs are
+    produced by ops/tiles.py). tile_start/tile_count ride scalar prefetch.
+  - The sequential transmittance recurrence T <- T*(1-alpha) becomes a
+    *log-space cumulative sum along the instance axis*, computed as a
+    (256,128)@(128,128) triangular matmul — MXU work instead of a serial
+    per-instance loop. Color accumulation is likewise a matmul.
+  - Early termination (T < 1e-4, render.jl:97-100) exits the chunk loop
+    when every pixel of the tile is done.
+  - The backward pass replays chunks back-to-front per tile, reconstructing
+    per-instance transmittance from the saved T_final by division in log
+    space (exactly the reference's strategy, render.jl:190-238) and writes
+    per-instance cotangent slabs to *disjoint* regions of the padded
+    instance table — no atomics. The per-Gaussian reduction then happens in
+    the caller through the instance-gather's autodiff transpose (one XLA
+    segment-sum), replacing the reference's @atomic accumulation.
+
+Math matches ops/blend_scan.py (the executable spec, tested allclose); both
+honor the true zero gradient of the 0.99 alpha clamp (the reference leaks
+gradient through it, render.jl:234 — divergence documented in blend_scan).
+
+In-kernel layout: alpha/weight matrices are (P=256 pixels, K=128 instances)
+— pixels on sublanes, instances on lanes — so instance-table rows broadcast
+as (1, K) and per-pixel carries live as (P, 1).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import ALPHA_MAX, ALPHA_MIN, CHUNK, TILE, TILE_PIXELS, TRANSMITTANCE_EPS
+from .blend_scan import (
+    F_PAD,
+    ROW_CONIC_A,
+    ROW_CONIC_B,
+    ROW_CONIC_C,
+    ROW_FEAT,
+    ROW_OPACITY,
+    ROW_X,
+    ROW_Y,
+)
+
+P = TILE_PIXELS  # 256 pixels per tile
+OUT_ROWS = 16  # packed per-tile rows: fwd [color(C) | T | n_contrib | pad]
+LOG_T_EPS = math.log(TRANSMITTANCE_EPS)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pixel_coords(tile_idx, gx):
+    """(P, 1) f32 pixel-center coords of tile `tile_idx`'s pixels (x fastest)."""
+    tx = tile_idx % gx
+    ty = tile_idx // gx
+    k = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * TILE + k % TILE).astype(jnp.float32)
+    py = (ty * TILE + k // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(slab, px, py):
+    """alpha (P,K) of one slab against the tile's pixels.
+
+    Applies the sigma>=0 skip, 0.99 cap, 1/255 floor (render.jl:90-95).
+    Padding instances have opacity 0 -> alpha 0. Returns
+    (alpha, opG, keep, dx, dy)."""
+    dx = slab[ROW_X : ROW_X + 1, :] - px  # (P, K)
+    dy = slab[ROW_Y : ROW_Y + 1, :] - py
+    a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
+    b = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
+    c = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
+    op = slab[ROW_OPACITY : ROW_OPACITY + 1, :]
+    sigma = b * dx * dy + 0.5 * (a * dx * dx + c * dy * dy)
+    G = jnp.exp(-sigma)
+    opG = op * G
+    alpha = jnp.minimum(ALPHA_MAX, opG)
+    keep = (sigma >= 0.0) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, opG, keep, dx, dy
+
+
+def _tri(k, cmp, dtype=jnp.float32):
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return cmp(r, c).astype(dtype)
+
+
+def _mm(x, m):
+    """x (P,K) @ m (K,K) -> (P,K) on the MXU."""
+    return jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Table repack (I_pad, F_PAD) <-> (F_PAD, I_pad)
+#
+# The public table is (I_pad, F_PAD) — the shape the one-row-gather produces —
+# but its 16-wide minor dim is lane-padded to 128 physically, so the blend
+# kernels consume the transposed (F_PAD, I_pad) orientation, whose layout is
+# compact. The transpose runs as its own VMEM-blocked Pallas kernel because
+# XLA folds a plain `jnp.transpose` into the custom call's operand *layout*
+# (ANY/HBM operands accept arbitrary layouts), which breaks the DMA slabs.
+# ---------------------------------------------------------------------------
+
+_REPACK_BLOCK = 8 * CHUNK  # I_pad is rounded to this in ops/tiles.py
+
+
+def _repack_to_kernel(inst):
+    """(I_pad, F_PAD) -> (F_PAD, I_pad), materialized compact."""
+    i_pad = inst.shape[0]
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:].T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(i_pad // _REPACK_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((_REPACK_BLOCK, F_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (F_PAD, _REPACK_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((F_PAD, i_pad), jnp.float32),
+        interpret=_interpret(),
+    )(inst)
+
+
+def _repack_from_kernel(instT):
+    """(F_PAD, I_pad) -> (I_pad, F_PAD)."""
+    i_pad = instT.shape[1]
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:].T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(i_pad // _REPACK_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((F_PAD, _REPACK_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (_REPACK_BLOCK, F_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((i_pad, F_PAD), jnp.float32),
+        interpret=_interpret(),
+    )(instT)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    tile_start_ref,  # (T,) i32 scalar prefetch
+    tile_count_ref,  # (T,) i32 scalar prefetch
+    inst_ref,  # (F_PAD, I_pad) f32 in HBM/ANY (kernel-side transposed table)
+    out_ref,  # (1, OUT_ROWS, P) f32 per-tile packed output
+    slab_ref,  # VMEM (2, F_PAD, CHUNK) double buffer
+    dma_sem,  # DMA sems (2,)
+    *,
+    gx: int,
+    n_feat: int,
+    i_pad: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    nc = pl.cdiv(count, jnp.int32(CHUNK))
+    max_off = i_pad - CHUNK
+
+    px, py = _pixel_coords(t, gx)
+    tri_incl = _tri(CHUNK, lambda r, c: r <= c)  # x @ tri = inclusive cumsum
+    rank1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)  # (P,K) 1-based
+
+    def get_dma(j, slot):
+        off = jnp.clip(start + j * CHUNK, 0, max_off)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+            slab_ref.at[slot],
+            dma_sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def cond(carry):
+        j, _color, _logT, done, _contrib = carry
+        # `done` is a f32 0/1 mask: Mosaic cannot carry i1 vectors through
+        # scf.while yields.
+        return (j < nc) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        j, color, logT, done, contrib = carry
+        slot = j % jnp.int32(2)
+        get_dma(j + 1, 1 - slot).start()
+        get_dma(j, slot).wait()
+        slab = slab_ref[slot]  # (F_PAD, CHUNK)
+
+        alpha, _opG, _keep, _dx, _dy = _chunk_alpha(slab, px, py)
+        in_count = rank1 + j * CHUNK <= count
+        alpha = jnp.where(in_count, alpha, 0.0)
+
+        log1m = jnp.log1p(-alpha)  # 0 for dead lanes
+        s_incl = _mm(log1m, tri_incl)  # (P,K) inclusive cumsum
+        logT_incl = logT + s_incl  # (P,K)
+        alive = alpha > 0.0
+        include = alive & (logT_incl >= LOG_T_EPS) & (done < 0.5)
+        T_before = jnp.exp(logT + (s_incl - log1m))
+        w = jnp.where(include, alpha * T_before, 0.0)  # (P,K)
+
+        feat = slab[ROW_FEAT : ROW_FEAT + n_feat, :]  # (C,K)
+        # (C,K) x (P,K) contracting K -> (C,P)
+        c_add = jax.lax.dot_general(
+            feat, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        color = color + c_add
+
+        contrib = jnp.maximum(
+            contrib, jnp.max(jnp.where(include, j * CHUNK + rank1, 0), axis=1, keepdims=True)
+        )
+        term = (alive & (logT_incl < LOG_T_EPS)).astype(jnp.float32)
+        done = jnp.maximum(done, jnp.max(term, axis=1, keepdims=True))
+        logT = logT + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
+        return j + 1, color, logT, done, contrib
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((n_feat, P), jnp.float32),
+        jnp.zeros((P, 1), jnp.float32),  # log T
+        jnp.zeros((P, 1), jnp.float32),  # done mask (f32 0/1)
+        jnp.zeros((P, 1), jnp.int32),
+    )
+    j_end, color, logT, done, contrib = jax.lax.while_loop(cond, body, init)
+    # Exactly one DMA is still in flight (started for j_end); retire it.
+    get_dma(j_end, j_end % jnp.int32(2)).wait()
+
+    out_ref[0, 0:n_feat, :] = color
+    out_ref[0, n_feat : n_feat + 1, :] = jnp.exp(logT).T
+    out_ref[0, n_feat + 1 : n_feat + 2, :] = contrib.astype(jnp.float32).T
+    out_ref[0, n_feat + 2 :, :] = jnp.zeros((OUT_ROWS - n_feat - 2, P), jnp.float32)
+
+
+def _blend_fwd_impl(inst, tile_start, tile_count, *, grid_wh, n_feat):
+    gx, gy = grid_wh
+    n_tiles = gx * gy
+    i_pad = inst.shape[0]
+    inst = _repack_to_kernel(inst)  # (F_PAD, I_pad), compact
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, F_PAD, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    packed = pl.pallas_call(
+        functools.partial(_fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, OUT_ROWS, P), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(tile_start, tile_count, inst)
+
+    color = packed[:, :n_feat, :].transpose(0, 2, 1)  # (T, P, C)
+    T_final = packed[:, n_feat, :]  # (T, P)
+    n_contrib = packed[:, n_feat + 1, :].astype(jnp.int32)
+    return color, T_final, n_contrib
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    tile_start_ref,
+    tile_count_ref,
+    inst_ref,  # (F_PAD, I_pad) ANY (kernel-side transposed table)
+    gpack_ref,  # (1, OUT_ROWS, P): rows [g_color(C) | g_T | T_final | n_contrib]
+    dinst_ref,  # (F_PAD, I_pad) ANY output
+    slab_ref,  # VMEM (2, F_PAD, CHUNK)
+    vslab_ref,  # VMEM (2, F_PAD, CHUNK) outgoing cotangent slabs
+    in_sem,
+    out_sem,
+    *,
+    gx: int,
+    n_feat: int,
+    i_pad: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    nc = pl.cdiv(count, jnp.int32(CHUNK))
+    max_off = i_pad - CHUNK
+
+    px, py = _pixel_coords(t, gx)
+    sfx_incl = _tri(CHUNK, lambda r, c: r >= c)  # x @ . = inclusive suffix sum
+    sfx_excl = _tri(CHUNK, lambda r, c: r > c)  # x @ . = exclusive suffix sum
+    lane1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
+
+    g_color = gpack_ref[0, 0:n_feat, :]  # (C, P)
+    g_T = gpack_ref[0, n_feat : n_feat + 1, :].T  # (P, 1)
+    T_final = gpack_ref[0, n_feat + 1 : n_feat + 2, :].T  # (P, 1)
+    n_contrib = gpack_ref[0, n_feat + 2 : n_feat + 3, :].T.astype(jnp.int32)  # (P, 1)
+
+    def in_dma(j, slot):
+        off = jnp.clip(start + j * CHUNK, 0, max_off)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+            slab_ref.at[slot],
+            in_sem.at[slot],
+        )
+
+    def out_dma(j, slot):
+        off = jnp.clip(start + j * CHUNK, 0, max_off)
+        return pltpu.make_async_copy(
+            vslab_ref.at[slot],
+            dinst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+            out_sem.at[slot],
+        )
+
+    # Chunks processed back-to-front: iteration i handles chunk j = nc-1-i.
+    @pl.when(nc >= 1)
+    def _():
+        in_dma(nc - 1, 0).start()
+
+    gT_term = g_T * T_final  # (P,1)
+
+    def body(i, carry):
+        logT_after, s_carry = carry  # (P,1), (P,1)
+        j = nc - 1 - i
+        slot = i % jnp.int32(2)
+
+        @pl.when(i + 1 < nc)
+        def _():
+            in_dma(j - 1, 1 - slot).start()
+
+        in_dma(j, slot).wait()
+        slab = slab_ref[slot]  # (F_PAD, CHUNK)
+
+        alpha, opG, keep, dx, dy = _chunk_alpha(slab, px, py)
+        rank1 = j * CHUNK + lane1  # (P,K)
+        include = (rank1 <= count) & (alpha > 0.0) & (rank1 <= n_contrib)
+        alpha = jnp.where(include, alpha, 0.0)
+
+        log1m = jnp.log1p(-alpha)
+        ss = _mm(log1m, sfx_incl)  # (P,K) inclusive suffix sum
+        # T just before instance i = T_after_chunk / prod_{j>=i}(1-a_j)
+        T_before = jnp.exp(logT_after - ss)
+        w = alpha * T_before  # (P,K), zero where excluded
+
+        feat = slab[ROW_FEAT : ROW_FEAT + n_feat, :]  # (C,K)
+        # gf[p,k] = sum_c g_color[c,p] * feat[c,k]
+        gf = jax.lax.dot_general(
+            g_color, feat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )  # (P,K)
+        wgf = w * gf
+        # suffix sum of later contributions: within-chunk exclusive + carry
+        s_i = _mm(wgf, sfx_excl) + s_carry  # (P,K)
+
+        one_m = 1.0 - alpha
+        v_alpha = jnp.where(include, T_before * gf - (s_i + gT_term) / one_m, 0.0)
+
+        # alpha = min(0.99, op*G): zero grad on the clamped branch
+        # (matches blend_scan; diverges from render.jl:234 — see module doc).
+        v_opG = jnp.where(include & (opG < ALPHA_MAX) & keep, v_alpha, 0.0)
+        op = slab[ROW_OPACITY : ROW_OPACITY + 1, :]
+        safe_op = jnp.where(op > 0.0, op, 1.0)
+        G = opG / safe_op
+        v_op = jnp.sum(v_opG * G, axis=0, keepdims=True)  # (1,K)
+        v_sigma = -v_opG * opG  # (P,K): d alpha/d sigma = -op*G
+
+        a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
+        b = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
+        c = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
+        v_a = jnp.sum(v_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
+        v_b = jnp.sum(v_sigma * dx * dy, axis=0, keepdims=True)
+        v_c = jnp.sum(v_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
+        # sigma = b dx dy + 0.5(a dx^2 + c dy^2), dx = x_i - px
+        v_x = jnp.sum(v_sigma * (a * dx + b * dy), axis=0, keepdims=True)
+        v_y = jnp.sum(v_sigma * (b * dx + c * dy), axis=0, keepdims=True)
+        # v_feat[c,k] = sum_p g_color[c,p] * w[p,k]
+        v_feat = jax.lax.dot_general(
+            g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )  # (C,K)
+
+        # The same vslab slot was DMA'd out two iterations ago; reclaim it.
+        @pl.when(i >= 2)
+        def _():
+            out_dma(j + 2, slot).wait()
+
+        vfull = jnp.concatenate(
+            [
+                v_x, v_y, v_a, v_b, v_c, v_op, v_feat,
+                jnp.zeros((F_PAD - ROW_FEAT - n_feat, CHUNK), jnp.float32),
+            ],
+            axis=0,
+        )  # (F_PAD, CHUNK)
+        vslab_ref[slot] = vfull
+        out_dma(j, slot).start()
+
+        logT_after = logT_after - jnp.sum(log1m, axis=1, keepdims=True)
+        s_carry = s_carry + jnp.sum(wgf, axis=1, keepdims=True)
+        return logT_after, s_carry
+
+    logT_final = jnp.log(jnp.maximum(T_final, 1e-30))
+    jax.lax.fori_loop(0, nc, body, (logT_final, jnp.zeros((P, 1), jnp.float32)))
+    # Retire the last (up to two) outgoing DMAs.
+    @pl.when(nc >= 2)
+    def _():
+        out_dma(1, (nc - 2) % jnp.int32(2)).wait()
+
+    @pl.when(nc >= 1)
+    def _():
+        out_dma(0, (nc - 1) % jnp.int32(2)).wait()
+
+
+def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat):
+    gx, gy = grid_wh
+    n_tiles = gx * gy
+    i_pad = inst.shape[0]
+    inst = _repack_to_kernel(inst)  # (F_PAD, I_pad), compact
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, F_PAD, CHUNK), jnp.float32),
+            pltpu.VMEM((2, F_PAD, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad),
+        out_shape=jax.ShapeDtypeStruct((F_PAD, i_pad), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), has_side_effects=True
+        ),
+        interpret=_interpret(),
+    )(tile_start, tile_count, inst, gpack)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _blend(inst, tile_start, tile_count, grid_wh, n_feat, chunk):
+    return _blend_fwd_impl(inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat)
+
+
+def _vjp_fwd(inst, tile_start, tile_count, grid_wh, n_feat, chunk):
+    color, T_final, n_contrib = _blend_fwd_impl(
+        inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat
+    )
+    return (color, T_final, n_contrib), (inst, tile_start, tile_count, T_final, n_contrib)
+
+
+def _vjp_bwd(grid_wh, n_feat, chunk, res, g):
+    inst, tile_start, tile_count, T_final, n_contrib = res
+    g_color, g_T, _g_contrib = g
+    n_tiles = T_final.shape[0]
+    pad = OUT_ROWS - n_feat - 3
+    gpack = jnp.concatenate(
+        [
+            g_color.transpose(0, 2, 1),  # (T, C, P)
+            g_T[:, None, :],
+            T_final[:, None, :],
+            n_contrib.astype(jnp.float32)[:, None, :],
+            jnp.zeros((n_tiles, pad, P), jnp.float32),
+        ],
+        axis=1,
+    )
+    dinst = _repack_from_kernel(
+        _blend_bwd_impl(inst, tile_start, tile_count, gpack, grid_wh=grid_wh, n_feat=n_feat)
+    )
+    # Slots past the last tile's padded range are never written by any tile
+    # (their forward contribution is exactly zero): mask the garbage.
+    p_total = jnp.sum(-(-tile_count // CHUNK) * CHUNK)
+    slot = jnp.arange(inst.shape[0], dtype=jnp.int32)
+    dinst = jnp.where(slot[:, None] < p_total, dinst, 0.0)
+    return dinst, None, None
+
+
+_blend.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+_blend_jit = jax.jit(_blend, static_argnums=(3, 4, 5))
+
+
+def blend_pallas(inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK):
+    """Composite all tiles; inst is (I_pad, F_PAD). Same contract as blend_scan:
+    returns (color (T,P,C), T_final (T,P), n_contrib (T,P) int32).
+
+    Jitted even when called eagerly: XLA must materialize the boundary
+    transpose into the kernel's compact (F_PAD, I_pad) layout.
+    """
+    assert chunk == CHUNK, "Pallas blend is specialized to CHUNK=128 slabs."
+    rem = (-inst.shape[0]) % _REPACK_BLOCK
+    if rem:  # repack kernels need a multiple of the (1024, F) block
+        inst = jnp.pad(inst, ((0, rem), (0, 0)))
+    return _blend_jit(inst, tile_start, tile_count, grid_wh, n_feat, chunk)

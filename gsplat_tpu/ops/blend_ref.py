@@ -38,7 +38,7 @@ def blend_ref(inst, tile_start, tile_count, *, grid_wh, n_feat):
     for t in range(n_tiles):
         ty, tx = divmod(t, gx)
         s, c = int(tile_start[t]), int(tile_count[t])
-        rows = inst[:, s : s + c]
+        rows = inst[s : s + c].T  # (F, c): features x instances
         for k in range(P):
             px = np.float32(tx * TILE + k % TILE)
             py = np.float32(ty * TILE + k // TILE)

@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 from ..constants import ALPHA_MAX, ALPHA_MIN, CHUNK, TILE, TILE_PIXELS, TRANSMITTANCE_EPS
 
-# Instance-table row layout, shared with the Pallas kernels.
+# Instance-table feature layout, shared with the Pallas kernels. The table
+# is (I_pad, F_PAD) — instances are *rows* so that (a) building the table is
+# ONE row-gather from the per-Gaussian pack (fast XLA gather; its autodiff
+# transpose is one scatter-add segment-sum), and (b) each CHUNK-row slab is
+# a contiguous 8 KB block for the Pallas DMA.
 ROW_X = 0
 ROW_Y = 1
 ROW_CONIC_A = 2
@@ -42,7 +46,7 @@ ROW_CONIC_B = 3
 ROW_CONIC_C = 4
 ROW_OPACITY = 5
 ROW_FEAT = 6  # feature channels start here
-F_PAD = 16  # instance table padded to 16 rows (one f32 sublane-tile)
+F_PAD = 16  # instance table padded to 16 feature columns
 
 
 def pixel_coords_for_tile(tx, ty):
@@ -94,7 +98,8 @@ def _chunk_forward(slab, px, py, row_valid, base_rank, T_in, done, n_feat):
 
     feat = slab[ROW_FEAT : ROW_FEAT + n_feat]  # (C, K)
     color_add = jax.lax.dot_general(
-        w, feat, (((1,), (1,)), ((), ())), preferred_element_type=slab.dtype
+        w, feat, (((1,), (1,)), ((), ())), preferred_element_type=slab.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (P, C)
 
     rank = base_rank + jnp.arange(1, K + 1, dtype=jnp.int32)
@@ -107,7 +112,7 @@ def _chunk_forward(slab, px, py, row_valid, base_rank, T_in, done, n_feat):
 
 @partial(jax.jit, static_argnames=("grid_wh", "n_feat", "chunk"))
 def blend_scan(
-    inst,  # (F_PAD, I_pad) f32 instance table
+    inst,  # (I_pad, F_PAD) f32 instance table (instances are rows)
     tile_start,  # (T,) int32, chunk-aligned
     tile_count,  # (T,) int32
     *,
@@ -123,7 +128,7 @@ def blend_scan(
     """
     gx, gy = grid_wh
     n_tiles = gx * gy
-    F, I_pad = inst.shape
+    I_pad, F = inst.shape
     n_chunks = I_pad // chunk
     P = TILE_PIXELS
 
@@ -139,7 +144,7 @@ def blend_scan(
     def step(state, j):
         color, T, done, contrib = state
         t = chunk_tile[j]
-        slab = jax.lax.dynamic_slice(inst, (jnp.int32(0), j * chunk), (F, chunk))
+        slab = jax.lax.dynamic_slice(inst, (j * chunk, jnp.int32(0)), (chunk, F)).T
         local = j * chunk - tile_start[t]
         row_valid = (jnp.arange(chunk, dtype=jnp.int32) + local) < tile_count[t]
         c_add, T_out, d_out, contrib_c, *_ = _chunk_forward(

@@ -65,28 +65,25 @@ class RasterizerConfig:
 
 
 def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats):
-    """Build the (F_PAD, I_pad) instance table from per-Gaussian arrays.
+    """Build the (I_pad, F_PAD) instance table from per-Gaussian arrays.
 
-    Gathers are differentiable: their transpose scatter-adds per-instance
-    cotangents back onto Gaussians (one XLA segment-sum per array).
+    ONE row-gather from a packed (N, F_PAD) per-Gaussian array — the
+    TPU-friendly gather shape. It is differentiable: its transpose
+    scatter-adds per-instance cotangents back onto Gaussians (one XLA
+    segment-sum), which is what replaces the reference backward's @atomic
+    accumulation (render.jl:242-282). Padding slots (id < 0) are zeroed
+    whole-row: opacity 0 kills their forward contribution and the mask
+    zeroes their cotangents.
     """
     N = mean_2d.shape[0]
     ids = jnp.clip(padded_ids, 0, N - 1)
-    m = (padded_ids >= 0).astype(jnp.float32)
-    rows = [
-        mean_2d[ids, 0],
-        mean_2d[ids, 1],
-        conic[ids, 0],
-        conic[ids, 1],
-        conic[ids, 2],
-        opacities[ids] * m,  # masked: padding slots never contribute
-    ]
-    rows.extend(feats[ids, c] for c in range(feats.shape[1]))
-    table = jnp.stack(rows, axis=0)
-    pad = F_PAD - table.shape[0]
-    if pad > 0:
-        table = jnp.concatenate([table, jnp.zeros((pad, table.shape[1]), table.dtype)], axis=0)
-    return table
+    m = (padded_ids >= 0).astype(mean_2d.dtype)
+    pad_cols = F_PAD - 6 - feats.shape[1]
+    pack = jnp.concatenate(
+        [mean_2d, conic, opacities[:, None], feats, jnp.zeros((N, pad_cols), mean_2d.dtype)],
+        axis=1,
+    )  # (N, F_PAD)
+    return jnp.take(pack, ids, axis=0) * m[:, None]
 
 
 def _assemble_image(color_tiles, grid_wh, n_feat):

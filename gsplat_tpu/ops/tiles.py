@@ -87,7 +87,9 @@ def build_instances(
     n_tiles = gx * gy
     N = mean_2d.shape[0]
     I = max_instances
-    I_pad = -(-max_instances // chunk) * chunk + n_tiles * chunk
+    # Rounded to 8*chunk so the blend kernels' table repack can use wide
+    # (1024, F) blocks.
+    I_pad = -(-(max_instances + n_tiles * chunk) // (8 * chunk)) * (8 * chunk)
 
     mean_2d = jax.lax.stop_gradient(mean_2d)
     depth = jax.lax.stop_gradient(depth)
@@ -117,12 +119,22 @@ def build_instances(
     w = jnp.maximum(rect_w[g], 1)
     tx = rmin[g, 0] + rank % w
     ty = rmin[g, 1] + rank // w
-    tile = jnp.where(slot_valid, ty * gx + tx, n_tiles)
-    dkey = jnp.where(slot_valid, depth[g], jnp.inf)
+    tile = ty * gx + tx
 
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile, dkey, jnp.where(slot_valid, g, -1)), num_keys=2
-    )
+    # Single-key u32 sort: [tile | truncated depth bits]. The reference packs
+    # (tile, depth) into a UInt64 key (utils.jl:85-120); on TPU a 32-bit
+    # single-key sort is ~2x the speed of a lexicographic two-key sort, and
+    # the top bits of a positive IEEE float are order-preserving, so
+    # truncating depth to the spare bits keeps front-to-back ordering (ties
+    # only between near-identical depths — blend order there is as
+    # unordered as the reference's unstable sortperm!).
+    tile_bits = max((n_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    d_u = jax.lax.bitcast_convert_type(depth[g].astype(jnp.float32), jnp.uint32) >> jnp.uint32(tile_bits)
+    key = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | d_u
+    key = jnp.where(slot_valid, key, jnp.uint32(0xFFFFFFFF))
+    sorted_key, sorted_gid = jax.lax.sort_key_val(key, jnp.where(slot_valid, g, -1))
+    sorted_tile = (sorted_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
     tiles_iota = jnp.arange(n_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_tile, tiles_iota, side="left").astype(jnp.int32)

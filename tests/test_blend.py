@@ -42,7 +42,8 @@ def make_instances(rng, grid_wh, n_per_tile, n_feat, chunk, opacity_scale=1.0):
             inst[4, s + j] = inv[1, 1]
         inst[5, s : s + c] = rng.uniform(0.05, 1.0, c) * opacity_scale
         inst[ROW_FEAT : ROW_FEAT + n_feat, s : s + c] = rng.uniform(0, 1, (n_feat, c))
-    return inst, starts, counts
+    # Table layout is (I_pad, F_PAD): instances are rows (see blend_scan.py).
+    return np.ascontiguousarray(inst.T), starts, counts
 
 
 @pytest.mark.parametrize("n_feat", [3, 4])
@@ -97,8 +98,8 @@ def test_blend_gradcheck(rng):
 
     g = np.asarray(jax.grad(loss)(jnp.asarray(inst, jnp.float64)))
     g_fd = finite_difference_grad(lambda x: float(loss(jnp.asarray(x))), inst.astype(np.float64), eps=1e-6)
-    # rows 6+n_feat.. are unused padding: zero grads
-    assert np.all(g[9:] == 0.0)
+    # columns 6+n_feat.. are unused padding: zero grads
+    assert np.all(g[:, 9:] == 0.0)
     np.testing.assert_allclose(g, g_fd, rtol=1e-4, atol=1e-7)
 
 
@@ -110,7 +111,7 @@ def test_alpha_identity():
     grid = (1, 1)
     chunk = 8
     inst, starts, counts = make_instances(rng, grid, 30, 4, chunk)
-    inst[ROW_FEAT + 3] = (inst[5] > 0).astype(np.float32)  # constant-1 feature
+    inst[:, ROW_FEAT + 3] = (inst[:, 5] > 0).astype(np.float32)  # constant-1 feature
     color, T, _ = blend_scan(
         jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts),
         grid_wh=grid, n_feat=4, chunk=chunk,

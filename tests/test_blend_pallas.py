@@ -1,0 +1,86 @@
+"""Pallas blend kernels vs the chunked-scan executable spec.
+
+Differential testing (the reference's fused-SSIM pattern, runtests.jl:496-520):
+same instance tables, Pallas fwd/bwd (interpret mode on CPU) vs pure-JAX scan
+autodiff — values AND gradients must agree.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu.constants import CHUNK, TILE_PIXELS
+from gsplat_tpu.ops.blend_pallas import blend_pallas
+from gsplat_tpu.ops.blend_scan import blend_scan
+from test_blend import make_instances
+
+
+def _pad_to_chunk(inst, starts, counts):
+    """Re-pad a chunk=8-built table is not valid for Pallas; build with CHUNK."""
+    raise NotImplementedError
+
+
+def _run_both(inst, starts, counts, grid, n_feat):
+    args = (jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts))
+    out_p = blend_pallas(*args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK)
+    out_s = blend_scan(*args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK)
+    return out_p, out_s
+
+
+@pytest.mark.parametrize("n_feat", [3, 4, 7])
+def test_pallas_forward_matches_scan(rng, n_feat):
+    grid = (2, 2)
+    inst, starts, counts = make_instances(rng, grid, 300, n_feat, CHUNK)
+    (c_p, T_p, n_p), (c_s, T_s, n_s) = _run_both(inst, starts, counts, grid, n_feat)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_s), rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+def test_pallas_forward_saturated(rng):
+    """High opacity: 0.99 cap + T<1e-4 early termination paths."""
+    grid = (2, 1)
+    inst, starts, counts = make_instances(rng, grid, 400, 3, CHUNK, opacity_scale=3.0)
+    (c_p, T_p, n_p), (c_s, T_s, n_s) = _run_both(inst, starts, counts, grid, 3)
+    assert np.asarray(T_s).min() < 1e-3, "saturation not reached; weak test"
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_s), rtol=1e-3, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+@pytest.mark.parametrize("opacity_scale", [1.0, 3.0])
+def test_pallas_gradients_match_scan(rng, opacity_scale):
+    grid = (2, 1)
+    n_feat = 4
+    inst, starts, counts = make_instances(
+        rng, grid, 300, n_feat, CHUNK, opacity_scale=opacity_scale
+    )
+    g_color = jnp.asarray(rng.normal(size=(2, TILE_PIXELS, n_feat)), jnp.float32)
+    g_T = jnp.asarray(rng.normal(size=(2, TILE_PIXELS)), jnp.float32)
+    args = (jnp.asarray(starts), jnp.asarray(counts))
+
+    def loss(fn, x):
+        color, T, _ = fn(x, *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK)
+        return jnp.sum(color * g_color) + jnp.sum(T * g_T)
+
+    g_p = np.asarray(jax.grad(lambda x: loss(blend_pallas, x))(jnp.asarray(inst)))
+    g_s = np.asarray(jax.grad(lambda x: loss(blend_scan, x))(jnp.asarray(inst)))
+    assert np.all(np.isfinite(g_p))
+    # Padding rows carry no gradient.
+    assert np.all(g_p[:, 6 + n_feat :] == 0.0)
+    scale = np.maximum(np.abs(g_s), 1e-3)
+    np.testing.assert_allclose(g_p / scale, g_s / scale, rtol=0, atol=5e-3)
+
+
+def test_pallas_empty_tiles(rng):
+    """Tiles with zero instances produce background (T=1) and zero grads."""
+    grid = (2, 2)
+    n_feat = 3
+    inst, starts, counts = make_instances(rng, grid, 130, n_feat, CHUNK)
+    counts = counts.copy()
+    counts[1] = 0  # empty a tile (its slots remain but are not counted)
+    (c_p, T_p, n_p), (c_s, T_s, n_s) = _run_both(inst, starts, counts, grid, n_feat)
+    np.testing.assert_allclose(np.asarray(c_p)[1], 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(T_p)[1], 1.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
