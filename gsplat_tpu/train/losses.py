@@ -1,0 +1,91 @@
+"""Photometric losses & image metrics.
+
+The reference implements SSIM as a hand-fused KernelAbstractions kernel pair
+(src/fused_ssim.jl:34-371) because Julia's conv stack couldn't fuse it. On
+TPU the separable 11-tap Gaussian windows are depthwise convolutions that
+XLA fuses natively — the "fused" SSIM is simply this composition under jit,
+and autodiff reproduces the hand-derived backward (the reference tests its
+kernel against exactly such a conv composition, test/runtests.jl:496-520).
+
+Window constants match fused_ssim.jl:1-24: 11 taps, sigma=1.5, C1=0.01^2,
+C2=0.03^2, images in [0,1].
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+SSIM_WINDOW = 11
+SSIM_SIGMA = 1.5
+SSIM_C1 = 0.01**2
+SSIM_C2 = 0.03**2
+
+
+def _gaussian_taps(n: int = SSIM_WINDOW, sigma: float = SSIM_SIGMA):
+    x = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+    w = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return w / jnp.sum(w)
+
+
+def _blur(img):
+    """Separable 11-tap Gaussian filter, same padding. img: (H, W, C)."""
+    c = img.shape[-1]
+    taps = _gaussian_taps()
+    x = img[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
+    kh = jnp.broadcast_to(taps.reshape(1, 1, SSIM_WINDOW, 1), (c, 1, SSIM_WINDOW, 1))
+    kw = jnp.broadcast_to(taps.reshape(1, 1, 1, SSIM_WINDOW), (c, 1, 1, SSIM_WINDOW))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    pad = SSIM_WINDOW // 2
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, feature_group_count=c
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, feature_group_count=c
+    )
+    return x[0].transpose(1, 2, 0)
+
+
+def ssim(x, y):
+    """Mean SSIM over the image; x, y: (H, W, C) in [0, 1]."""
+    mu_x = _blur(x)
+    mu_y = _blur(y)
+    mu_xx = _blur(x * x)
+    mu_yy = _blur(y * y)
+    mu_xy = _blur(x * y)
+    var_x = mu_xx - mu_x * mu_x
+    var_y = mu_yy - mu_y * mu_y
+    cov = mu_xy - mu_x * mu_y
+    num = (2 * mu_x * mu_y + SSIM_C1) * (2 * cov + SSIM_C2)
+    den = (mu_x * mu_x + mu_y * mu_y + SSIM_C1) * (var_x + var_y + SSIM_C2)
+    return jnp.mean(num / den)
+
+
+def l1(x, y):
+    return jnp.mean(jnp.abs(x - y))
+
+
+def mse(x, y):
+    return jnp.mean((x - y) ** 2)
+
+
+def psnr(x, y):
+    """20*log10(1/sqrt(mse)) (reference utils.jl:107-110)."""
+    return -10.0 * jnp.log10(jnp.maximum(mse(x, y), 1e-12))
+
+
+def quantize8(img):
+    """Round to the 8-bit sRGB grid before scoring — published-number parity
+    (reference utils.jl:111-118)."""
+    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0) / 255.0
+
+
+def photometric_loss(pred, target, lambda_dssim: float = 0.2):
+    """(1-l)*L1 + l*(1-SSIM) — the 3DGS objective (training.jl:668-672).
+    Returns (loss, dict of parts)."""
+    t_l1 = l1(pred, target)
+    t_ssim = ssim(pred, target)
+    loss = (1.0 - lambda_dssim) * t_l1 + lambda_dssim * (1.0 - t_ssim)
+    return loss, {"l1": t_l1, "ssim": t_ssim}
