@@ -140,12 +140,13 @@ def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> tuple[np.ndarray, np.ndarray]:
 def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
     """6D rotation parametrization → rotation matrix (Zhou et al.).
 
-    Mirrors reference `rotation_6d_to_matrix` (src/camera.jl:170-177); used by
-    camera pose optimization.
+    Mirrors reference `rotation_6d_to_matrix` (src/camera.jl:170-177): the
+    orthonormalized vectors are the *rows* of the result. Used by camera
+    pose optimization.
     """
     a1, a2 = d6[:3], d6[3:]
     b1 = a1 / jnp.linalg.norm(a1)
     b2 = a2 - jnp.dot(b1, a2) * b1
-    b2 = b2 / jnp.linalg.norm(b2)
-    b3 = jnp.cross(b1, b2)
-    return jnp.stack([b1, b2, b3], axis=1)
+    b3 = b2 / jnp.linalg.norm(b2)
+    b4 = jnp.cross(b1, b3)
+    return jnp.stack([b1, b3, b4], axis=0)

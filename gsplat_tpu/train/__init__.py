@@ -8,3 +8,11 @@ from .optim import (  # noqa: F401
     zero_moment_rows,
 )
 from .trainer import Trainer, TrainState, eval_view, train_step  # noqa: F401
+from .strategy import (  # noqa: F401
+    DefaultStrategy,
+    MCMCStrategy,
+    create_strategy,
+    grow_state,
+    mcmc_binom_coefficients,
+    relocation_params,
+)

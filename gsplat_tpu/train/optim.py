@@ -21,6 +21,12 @@ ADAM_B1 = 0.9
 ADAM_B2 = 0.999
 ADAM_EPS = 1e-15  # reference training.jl:233
 
+# Per-Gaussian parameter groups (row = one Gaussian); the only groups
+# densification surgery may touch.
+MODEL_PARAM_NAMES = (
+    "points", "features_dc", "features_rest", "scales", "rotations", "opacities",
+)
+
 
 def adam_init(params: dict) -> dict:
     return {
@@ -52,15 +58,20 @@ def adam_update(params: dict, grads: dict, state: dict, lrs: dict) -> tuple[dict
 
 def zero_moment_rows(state: dict, mask) -> dict:
     """Zero mu/nu rows where mask (C,) is True — the reference's
-    `_zero_optimizer_rows!` (densification.jl:289-297)."""
+    `_zero_optimizer_rows!` (densification.jl:289-297). Only the
+    per-Gaussian groups are touched (aux groups like bilateral grids have
+    unrelated shapes)."""
 
     def z(x):
         m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
         return jnp.where(m, 0.0, x)
 
+    def zdict(d):
+        return {k: (z(v) if k in MODEL_PARAM_NAMES else v) for k, v in d.items()}
+
     return {
-        "mu": jax.tree_util.tree_map(z, state["mu"]),
-        "nu": jax.tree_util.tree_map(z, state["nu"]),
+        "mu": zdict(state["mu"]),
+        "nu": zdict(state["nu"]),
         "step": state["step"],
     }
 
@@ -89,45 +100,52 @@ def lr_exp_scheduler(step, lr_start: float, lr_end: float, max_steps: int):
 
 @dataclass(frozen=True)
 class OptimizationParams:
-    # core photometric
-    lambda_dssim: float = 0.2
-    random_background: bool = False
+    """Field-for-field mirror of the reference's OptimizationParams
+    (src/utils.jl:2-73); values copied verbatim for metric parity."""
 
-    # learning rates
-    lr_points_start: float = 1.6e-4  # x camera_extent
-    lr_points_end: float = 1.6e-6  # x camera_extent
+    lambda_dssim: float = 0.2
+
+    lr_points_start: float = 16e-5  # x camera_extent
+    lr_points_end: float = 16e-7  # x camera_extent
     lr_points_steps: int = 30_000
-    lr_feature: float = 2.5e-3  # features_rest = lr_feature / 20
+    lr_feature: float = 25e-4  # features_rest = lr_feature / 20
     lr_opacities: float = 5e-2
     lr_scales: float = 5e-3
     lr_rotations: float = 1e-3
 
-    # depth supervision
-    depth_loss_weight: float = 2.0
-    depth_loss_mode: str = "ssi"  # ssi | ssi_disparity | ssi_depth
-    depth_loss_decay: float = 0.02  # decays to 2% of weight
-    depth_grad_weight: float = 1.0
+    random_background: bool = False
 
-    # sky dome
-    sky_dome: bool = False
+    # Depth supervision with monocular priors (depth_supervision.py).
+    use_depth_loss: bool = True
+    depth_loss_weight: float = 2.0
+    depth_loss_mode: str = "ssi"  # ssi (auto) | ssi_disparity | ssi_depth
+    depth_loss_steps: int = 30_000
+    depth_loss_final_scale: float = 0.02  # weight decays to this fraction
+    depth_loss_gradient_weight: float = 1.0
+
+    # Sky dome (sky_dome.py).
+    use_sky_dome: bool = False
     sky_dome_shape: str = "hemisphere"  # hemisphere | sphere
     sky_dome_points: int = 32_768
-    sky_dome_radius_scale: float = 100.0  # x camera_extent
-    sky_dome_lr: float = 2.5e-3
+    sky_dome_radius_factor: float = 100.0  # x camera extent
+    sky_dome_lr: float = 25e-4
 
-    # sky opacity loss
+    # Sky mask supervision (inert without masks).
+    use_sky_loss: bool = True
     sky_loss_weight: float = 1.0
     sky_loss_from_iter: int = 500
 
-    # bilateral grid
-    bilateral_grid: bool = False
-    bilateral_grid_shape: tuple = (16, 16, 8)
+    # Bilateral grid appearance modeling (bilateral_grid.py).
+    use_bilateral_grid: bool = False
+    bilateral_grid_size: tuple = (16, 16, 8)  # (x, y, guidance)
     bilateral_grid_lr: float = 2e-3
-    bilateral_grid_tv: float = 10.0
+    bilateral_grid_lr_steps: int = 30_000
+    tv_loss_weight: float = 10.0
 
-    # geometry regularization
+    # Geometry regularization (geometry_regularization.py).
+    use_normal_loss: bool = False
     normal_consistency_weight: float = 0.05
-    flatten_weight: float = 0.005
+    normal_flatten_weight: float = 0.005
     normal_from_iter: int = 20_000
 
     def lrs(self, step, camera_extent: float) -> dict:
@@ -151,13 +169,12 @@ class OptimizationParams:
 
 
 def reference_opt_params() -> OptimizationParams:
-    """Every extension off — the comparability config
+    """Every extension off — the benchmark comparability config
     (GaussianSplatting.jl:210-212)."""
     return OptimizationParams(
-        sky_dome=False,
-        bilateral_grid=False,
-        depth_loss_weight=0.0,
-        normal_consistency_weight=0.0,
-        flatten_weight=0.0,
-        sky_loss_weight=0.0,
+        use_depth_loss=False,
+        use_sky_dome=False,
+        use_sky_loss=False,
+        use_bilateral_grid=False,
+        use_normal_loss=False,
     )

@@ -4,23 +4,27 @@ TPU-native redesign of the reference Trainer/step!/validate
 (reference: src/training.jl:185-818). The reference's mutable trainer
 becomes a `TrainState` pytree advanced by a pure, jitted `train_step`:
 
-    render (custom-vjp Pallas blend) -> photometric loss -> grads ->
-    per-param Adam -> densification stats accumulation
+    render (custom-vjp Pallas blend) -> [sky composite] -> [bilateral slice]
+    -> L1+SSIM + reg + tv + depth + sky + flatten + normal -> grads ->
+    per-param Adam (+ grids, + sky colors) -> densification stats
 
+mirroring the reference loss closure (training.jl:641-752) term for term.
 Things that must escape jit (view selection, SH ramp bookkeeping, strategy
-refinement every 100 steps, capacity growth) live on the host `Trainer`,
-matching the reference's own step cadence (strategy.jl:76-105).
+refinement every 100 steps, capacity growth, overflow regrowth) live on the
+host `Trainer`, matching the reference's own step cadence.
 
 The per-Gaussian screen-gradient statistics the reference persists out of
 its backward kernel (gstate.∇means_2d, states.jl:22-31) are obtained here
-with a zero-valued `means2d_probe` argument whose gradient IS d(loss)/d(mean_2d)
-— no kernel plumbing, just an extra cotangent output of the same autodiff call.
+with a zero-valued `means2d_probe` argument whose gradient IS
+d(loss)/d(mean_2d) — an extra cotangent of the same autodiff call.
 Stats match strategy.jl:118-136: accum += |pixel-grad * resolution/2|,
 denom += 1, max_radii = max(radii), all gated on radius > 0.
+
+Per-view optional inputs (depth targets, sky masks) are always passed as
+arrays with a weight that zeroes absent ones — one trace for all views.
 """
 from __future__ import annotations
 
-import time
 from functools import partial
 
 import jax
@@ -44,17 +48,22 @@ class TrainState:
     max_radii: jnp.ndarray  # (C,) int32
     grad_accum: jnp.ndarray  # (C,) f32
     stat_denom: jnp.ndarray  # (C,) f32
+    # Optional auxiliary trainables: bilateral_grids, sky_dc.
+    aux: dict = struct.field(default_factory=dict)
 
     @classmethod
-    def create(cls, model: GaussianModel) -> "TrainState":
+    def create(cls, model: GaussianModel, aux: dict | None = None) -> "TrainState":
         c = model.capacity
+        aux = aux or {}
+        opt = adam_init(model.params() | aux)
         return cls(
             model=model,
-            opt=adam_init(model.params()),
+            opt=opt,
             step=jnp.zeros((), jnp.int32),
             max_radii=jnp.zeros((c,), jnp.int32),
             grad_accum=jnp.zeros((c,), jnp.float32),
             stat_denom=jnp.zeros((c,), jnp.float32),
+            aux=aux,
         )
 
     def reset_stats(self) -> "TrainState":
@@ -66,23 +75,43 @@ class TrainState:
         )
 
 
-@partial(jax.jit, static_argnames=("config", "opt_params", "camera_extent"))
+LOSS_TERMS = ("l1", "ssim", "reg", "tv", "depth", "sky", "flatten", "normal")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "opt_params", "camera_extent", "reg_weights", "features", "sky"),
+)
 def train_step(
     state: TrainState,
     camera: Camera,
     target,  # (H, W, 3) f32
     background,  # (3,)
     sh_degree,  # traced int
+    view_idx,  # traced int: index into train-view-aligned aux arrays
+    extras,  # dict of per-view arrays (depth target pack, sky mask, rays)
     *,
     config: RasterizerConfig,
     opt_params: OptimizationParams,
     camera_extent: float,
+    reg_weights: tuple = (0.0, 0.0),  # (opacity_reg, scale_reg) — strategy hook
+    features: tuple = (),  # subset of {"bilateral","depth","sky_dome","sky_loss","normal"}
+    sky=None,  # SkyDome (static by identity; frozen geometry enters as consts)
 ):
     """One optimization step. Returns (new_state, metrics dict)."""
-    params = state.model.params()
-    probe = jnp.zeros((state.model.capacity, 2), jnp.float32)
+    p = opt_params
+    use_bilateral = "bilateral" in features
+    use_depth = "depth" in features
+    use_sky_dome = "sky_dome" in features
+    use_sky_loss = "sky_loss" in features
+    use_normal = "normal" in features
 
-    def loss_fn(params, probe):
+    params = state.model.params()
+    aux_params = dict(state.aux)
+    probe = jnp.zeros((state.model.capacity, 2), jnp.float32)
+    step_f = state.step.astype(jnp.float32)
+
+    def loss_fn(params, aux_params, probe):
         model = state.model.replace_params(params)
         img, aux = render(
             *model.render_args(),
@@ -93,15 +122,117 @@ def train_step(
             means2d_probe=probe,
         )
         image = img[..., :3]
-        loss, parts = photometric_loss(image, target, opt_params.lambda_dssim)
-        return loss, (parts, aux)
+        terms = {k: 0.0 for k in LOSS_TERMS}
 
-    (loss, (parts, aux)), (g_params, g_probe) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
-    )(params, probe)
+        depth_img = img[..., 3] if config.mode != "rgb" else None
+        alpha_img = img[..., 4] if config.mode != "rgb" else None
 
-    lrs = opt_params.lrs(state.step, camera_extent)
-    new_params, new_opt = adam_update(params, g_params, state.opt, lrs)
+        # Far-field dome behind the scene, before appearance correction
+        # (training.jl:670-677).
+        if use_sky_dome:
+            sky_rgb = sky.render(camera, aux_params["sky_dc"], config=None)
+            from ..models.sky_dome import composite_sky
+
+            image = composite_sky(image, alpha_img, sky_rgb)
+
+        # Per-view appearance correction before the photometric loss.
+        if use_bilateral:
+            from ..models.bilateral_grid import bilateral_slice
+
+            image = bilateral_slice(image, aux_params["bilateral_grids"][view_idx])
+
+        loss, parts = photometric_loss(image, target, p.lambda_dssim)
+        terms["l1"] = (1.0 - p.lambda_dssim) * parts["l1"]
+        terms["ssim"] = p.lambda_dssim * (1.0 - parts["ssim"])
+
+        op_reg, sc_reg = reg_weights
+        if op_reg or sc_reg:
+            # Strategy regularization hook (mcmc.jl:104-107), masked mean
+            # over alive rows (the reference has no dead rows).
+            a = model.alive.astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(a), 1.0)
+            reg = op_reg * jnp.sum(jax.nn.sigmoid(model.masked_opacities()) * a) / n
+            reg += sc_reg * jnp.sum(jnp.mean(jnp.exp(model.scales), axis=1) * a) / n
+            terms["reg"] = reg
+            loss = loss + reg
+
+        if use_bilateral:
+            from ..models.bilateral_grid import tv_loss
+
+            terms["tv"] = p.tv_loss_weight * tv_loss(aux_params["bilateral_grids"])
+            loss = loss + terms["tv"]
+
+        if use_depth:
+            from ..models.depth_supervision import ssi_depth_loss
+
+            # Weight decays to final_scale over depth_loss_steps
+            # (training.jl:618-620); zero for views without an anchor.
+            decay = p.depth_loss_final_scale ** jnp.clip(
+                step_f / p.depth_loss_steps, 0.0, 1.0
+            )
+            w = p.depth_loss_weight * decay * extras["depth_weight"]
+            terms["depth"] = w * ssi_depth_loss(
+                depth_img,
+                alpha_img,
+                target=extras["depth_target"],
+                half_band=extras["depth_half_band"],
+                valid=extras["depth_valid"] > 0.5,
+                far_extrap=extras["depth_far_extrap"] > 0.5,
+                depth_floor=extras["depth_floor"],
+                grad_weight=p.depth_loss_gradient_weight,
+            )
+            loss = loss + terms["depth"]
+
+        if use_sky_loss:
+            from ..models.sky_dome import sky_opacity_loss
+
+            # From sky_loss_from_iter on (training.jl:633-637); masks absent
+            # for a view arrive as zeros.
+            gate = (step_f >= p.sky_loss_from_iter).astype(jnp.float32)
+            terms["sky"] = (
+                p.sky_loss_weight * gate * sky_opacity_loss(alpha_img, extras["sky_mask"])
+            )
+            loss = loss + terms["sky"]
+
+        if use_normal:
+            from ..models.geometry_regularization import (
+                depth_normal_consistency_loss,
+                flatten_loss,
+            )
+
+            gate = (step_f >= p.normal_from_iter).astype(jnp.float32)
+            terms["flatten"] = gate * p.normal_flatten_weight * flatten_loss(
+                model.scales, model.alive
+            )
+            terms["normal"] = gate * p.normal_consistency_weight * (
+                depth_normal_consistency_loss(
+                    depth_img, alpha_img, img[..., 5:8],
+                    rays=(extras["rays_x"], extras["rays_y"]),
+                )
+            )
+            loss = loss + terms["flatten"] + terms["normal"]
+
+        return loss, (terms, parts, aux)
+
+    (loss, (terms, parts, aux)), (g_params, g_aux, g_probe) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(params, aux_params, probe)
+
+    lrs = p.lrs(state.step, camera_extent)
+    if use_bilateral:
+        from ..models.bilateral_grid import bilateral_grid_lr
+
+        lrs["bilateral_grids"] = bilateral_grid_lr(
+            step_f, p.bilateral_grid_lr, p.bilateral_grid_lr_steps
+        )
+    if use_sky_dome:
+        lrs["sky_dc"] = p.sky_dome_lr
+
+    all_params = params | aux_params
+    all_grads = g_params | g_aux
+    new_all, new_opt = adam_update(all_params, all_grads, state.opt, lrs)
+    new_params = {k: new_all[k] for k in params}
+    new_aux = {k: new_all[k] for k in aux_params}
 
     # Densification stats (strategy.jl:118-136): NDC-equivalent screen grads.
     res_half = jnp.array([config.width, config.height], jnp.float32) * 0.5
@@ -114,6 +245,7 @@ def train_step(
         max_radii=jnp.where(visible, jnp.maximum(state.max_radii, aux["radii"]), state.max_radii),
         grad_accum=jnp.where(visible, state.grad_accum + gnorm, state.grad_accum),
         stat_denom=jnp.where(visible, state.stat_denom + 1.0, state.stat_denom),
+        aux=new_aux,
     )
     metrics = {
         "loss": loss,
@@ -121,15 +253,31 @@ def train_step(
         "ssim": parts["ssim"],
         "n_instances": aux["n_instances"],
         "overflow": aux["overflow"],
+        "terms": terms,
     }
     return new_state, metrics
 
 
-@partial(jax.jit, static_argnames=("config", "quantize"))
-def eval_view(model: GaussianModel, camera: Camera, target, sh_degree, *, config, quantize=True):
-    """Per-view SSIM/MSE/PSNR (reference validate, training.jl:487-532)."""
+@partial(jax.jit, static_argnames=("config", "quantize", "sky"))
+def eval_view(
+    model: GaussianModel,
+    camera: Camera,
+    target,
+    sh_degree,
+    *,
+    config,
+    quantize=True,
+    sky=None,
+    sky_dc=None,
+):
+    """Per-view SSIM/MSE/PSNR (reference validate, training.jl:487-532),
+    sky composited when present."""
     img, _ = render(*model.render_args(), camera=camera, config=config, sh_degree=sh_degree)
     image = img[..., :3]
+    if sky is not None:
+        from ..models.sky_dome import composite_sky
+
+        image = composite_sky(image, img[..., 4], sky.render(camera, sky_dc, config=None))
     if quantize:
         image = quantize8(image)
     return {
@@ -140,10 +288,8 @@ def eval_view(model: GaussianModel, camera: Camera, target, sh_degree, *, config
 
 
 class Trainer:
-    """Host-side loop: view shuffling, SH ramp, strategy cadence, metrics.
-
-    Mirrors the reference Trainer (training.jl:185-272) minus the GUI.
-    """
+    """Host-side loop: view shuffling, SH ramp, strategy cadence, subsystem
+    setup, metrics. Mirrors the reference Trainer (training.jl:185-394)."""
 
     def __init__(
         self,
@@ -151,7 +297,7 @@ class Trainer:
         dataset,
         *,
         opt_params: OptimizationParams | None = None,
-        mode: str = "rgb",
+        mode: str | None = None,
         max_instances: int = 1 << 20,
         strategy=None,
         sh_ramp_every: int = 1000,
@@ -159,10 +305,9 @@ class Trainer:
     ):
         self.dataset = dataset
         self.opt_params = opt_params or OptimizationParams()
-        self.state = TrainState.create(model)
+        p = self.opt_params
         self.strategy = strategy
         self.sh_ramp_every = sh_ramp_every
-        self.mode = mode
         self.max_instances = max_instances
         self.rng = np.random.default_rng(seed)
         self._epoch: list = []
@@ -172,13 +317,88 @@ class Trainer:
         self.impl = "pallas" if jax.default_backend() == "tpu" else "scan"
         self.history: list = []
 
-    def config_for(self, camera: Camera) -> RasterizerConfig:
-        key = (camera.width, camera.height)
+        # --- optional subsystems (training.jl:295-394) ---
+        self.anchors = None
+        self.depth_qsteps = None
+        if p.use_depth_loss and getattr(dataset, "depths", None) and any(
+            d is not None for d in dataset.depths
+        ):
+            from ..models.depth_supervision import fit_depth_anchors
+
+            priors = [dataset.depths[i] for i in range(len(dataset.cameras))]
+            self.anchors = fit_depth_anchors(
+                dataset.points, dataset.cameras, priors, mode=p.depth_loss_mode
+            )
+            self.depth_qsteps = getattr(
+                dataset, "depth_qsteps", [1.0 / 255.0] * len(dataset.cameras)
+            )
+
+        self.sky = None
+        if p.use_sky_dome:
+            from ..models.sky_dome import SkyDome, estimate_up_vec
+
+            up = estimate_up_vec(dataset.cameras)
+            centroid = np.mean(
+                [np.asarray(c.camera_center) for c in dataset.cameras], axis=0
+            )
+            self.sky = SkyDome(
+                dataset.cameras[0],
+                n_points=p.sky_dome_points,
+                shape=p.sky_dome_shape,
+                radius=p.sky_dome_radius_factor * self.camera_extent,
+                center=centroid,
+                up=up,
+                impl=self.impl,
+                max_instances=max_instances,
+            )
+
+        self.has_sky_masks = p.use_sky_loss and bool(
+            getattr(dataset, "sky_masks", None)
+        ) and any(m is not None for m in dataset.sky_masks)
+
+        aux = {}
+        if p.use_bilateral_grid:
+            from ..models.bilateral_grid import make_bilateral_grids
+
+            aux["bilateral_grids"] = make_bilateral_grids(
+                len(dataset.train_ids), p.bilateral_grid_size
+            )
+        if self.sky is not None:
+            aux["sky_dc"] = self.sky.init_features_dc
+
+        feats = []
+        if p.use_bilateral_grid:
+            feats.append("bilateral")
+        if self.anchors is not None:
+            feats.append("depth")
+        if self.sky is not None:
+            feats.append("sky_dome")
+        if self.has_sky_masks:
+            feats.append("sky_loss")
+        if p.use_normal_loss:
+            feats.append("normal")
+        self.features = tuple(feats)
+
+        if mode is None:
+            if "normal" in feats:
+                mode = "rgbdn"
+            elif any(f in feats for f in ("depth", "sky_dome", "sky_loss")):
+                mode = "rgbd"
+            else:
+                mode = "rgb"
+        self.mode = mode
+
+        self.state = TrainState.create(model, aux)
+
+    # -- configs ------------------------------------------------------------
+
+    def config_for(self, camera: Camera, mode: str | None = None) -> RasterizerConfig:
+        key = (camera.width, camera.height, mode or self.mode)
         if key not in self._configs:
             self._configs[key] = RasterizerConfig(
                 width=camera.width,
                 height=camera.height,
-                mode=self.mode,
+                mode=mode or self.mode,
                 max_instances=self.max_instances,
                 impl=self.impl,
             )
@@ -186,10 +406,55 @@ class Trainer:
 
     def _next_view(self):
         if not self._epoch:
-            self._epoch = list(self.dataset.train_ids)
+            self._epoch = list(range(len(self.dataset.train_ids)))
             self.rng.shuffle(self._epoch)
-        vid = self._epoch.pop()
-        return self.dataset.cameras[vid], self.dataset.images[vid], vid
+        ti = self._epoch.pop()
+        vid = self.dataset.train_ids[ti]
+        return self.dataset.cameras[vid], self.dataset.images[vid], ti, vid
+
+    def _extras_for(self, camera: Camera, vid: int):
+        """Per-view auxiliary arrays; absent features arrive as zeros with
+        zero weight (one trace for all views)."""
+        H, W = camera.height, camera.width
+        ex = {}
+        if "depth" in self.features:
+            anchor = self.anchors[vid] if self.anchors else None
+            if anchor is not None and self.dataset.depths[vid] is not None:
+                from ..models.depth_supervision import depth_target
+
+                qstep = self.depth_qsteps[vid] if self.depth_qsteps else 0.0
+                t, hb, valid, far = depth_target(
+                    anchor, jnp.asarray(self.dataset.depths[vid]), qstep
+                )
+                ex.update(
+                    depth_target=t,
+                    depth_half_band=hb,
+                    depth_valid=valid.astype(jnp.float32),
+                    depth_far_extrap=far.astype(jnp.float32),
+                    depth_floor=jnp.float32(anchor.floor),
+                    depth_weight=jnp.float32(1.0),
+                )
+            else:
+                ex.update(
+                    depth_target=jnp.zeros((H, W)),
+                    depth_half_band=jnp.zeros((H, W)),
+                    depth_valid=jnp.zeros((H, W)),
+                    depth_far_extrap=jnp.zeros((H, W)),
+                    depth_floor=jnp.float32(1.0),
+                    depth_weight=jnp.float32(0.0),
+                )
+        if "sky_loss" in self.features:
+            m = self.dataset.sky_masks[vid] if self.dataset.sky_masks else None
+            ex["sky_mask"] = (
+                jnp.asarray(m) if m is not None else jnp.zeros((H, W), jnp.float32)
+            )
+        if "normal" in self.features:
+            from ..models.geometry_regularization import pixel_rays
+
+            rx, ry = pixel_rays(camera)
+            ex["rays_x"] = rx
+            ex["rays_y"] = ry
+        return ex
 
     @property
     def step(self) -> int:
@@ -201,25 +466,46 @@ class Trainer:
         if step > 0 and step % self.sh_ramp_every == 0:
             self.sh_degree = min(self.sh_degree + 1, self.state.model.max_sh_degree)
 
-        camera, image, vid = self._next_view()
+        camera, image, ti, vid = self._next_view()
         cfg = self.config_for(camera)
         if self.opt_params.random_background:
             background = jnp.asarray(self.rng.random(3), jnp.float32)
         else:
             background = jnp.zeros(3, jnp.float32)
 
+        reg = (
+            self.strategy.regularization_loss_weights()
+            if self.strategy is not None
+            else (0.0, 0.0)
+        )
         self.state, metrics = train_step(
             self.state,
             camera,
             jnp.asarray(image),
             background,
             self.sh_degree,
+            jnp.int32(ti),
+            self._extras_for(camera, vid),
             config=cfg,
             opt_params=self.opt_params,
             camera_extent=self.camera_extent,
+            reg_weights=reg,
+            features=self.features,
+            sky=self.sky,
         )
         if self.strategy is not None:
             self.state = self.strategy.post_train_step(self.state, self, step + 1)
+        if bool(metrics["overflow"]):
+            # The instance budget truncated this step's render: grow the
+            # buffer (replaces the reference's grow-only binning buffers,
+            # rasterizer.jl:340-343). One recompile per doubling.
+            self.max_instances *= 2
+            self._configs.clear()
+            print(
+                f"[trainer] instance budget overflow at step {self.step}; "
+                f"growing max_instances to {self.max_instances}",
+                flush=True,
+            )
         return metrics
 
     def train(self, n_steps: int, log_every: int = 0):
@@ -242,6 +528,7 @@ class Trainer:
         if not self.dataset.test_ids:
             return {}
         acc = {"ssim": 0.0, "mse": 0.0, "psnr": 0.0}
+        sky_dc = self.state.aux.get("sky_dc") if self.sky is not None else None
         for vid in self.dataset.test_ids:
             cam = self.dataset.cameras[vid]
             out = eval_view(
@@ -251,6 +538,8 @@ class Trainer:
                 self.sh_degree,
                 config=self.config_for(cam),
                 quantize=quantize,
+                sky=self.sky,
+                sky_dc=sky_dc,
             )
             for k in acc:
                 acc[k] += float(out[k])
