@@ -1,0 +1,91 @@
+"""Command line interface: python -m gsplat_tpu <command> ...
+
+Replaces the reference's scripts/ (render-views.jl, gs-convert.jl) and the
+headless main/benchmark entry points.
+"""
+import argparse
+import sys
+
+
+def _cli():
+    p = argparse.ArgumentParser(prog="gsplat_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="headless training on a COLMAP dataset")
+    t.add_argument("dataset")
+    t.add_argument("--scale", type=int, default=None)
+    t.add_argument("--steps", type=int, default=10_000)
+    t.add_argument("--strategy", default="default", choices=["default", "mcmc", "none"])
+    t.add_argument("--holdout", type=int, default=8)
+    t.add_argument("--checkpoint", default=None)
+    t.add_argument("--ply", default=None)
+    t.add_argument("--params", default=None, help="TOML OptimizationParams file")
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--max-instances", type=int, default=None)
+
+    b = sub.add_parser("benchmark", help="the 7k/30k quantized-metric protocol")
+    b.add_argument("dataset")
+    b.add_argument("--scale", type=int, default=None)
+    b.add_argument("--steps", type=int, default=30_000)
+    b.add_argument("--strategies", default="default,mcmc")
+    b.add_argument("--seed", type=int, default=0)
+
+    r = sub.add_parser("render", help="render dataset views from a checkpoint/PLY")
+    r.add_argument("model", help=".safetensors checkpoint or .ply")
+    r.add_argument("dataset")
+    r.add_argument("out_dir")
+    r.add_argument("--scale", type=int, default=None)
+    r.add_argument("--split", default="test", choices=["test", "train"])
+
+    c = sub.add_parser("convert", help="checkpoint <-> PLY conversion")
+    c.add_argument("input")
+    c.add_argument("output")
+
+    args = p.parse_args()
+
+    if args.cmd == "train":
+        from .api import main as train_main
+        from .train.params_io import load_opt_params
+
+        opt = load_opt_params(args.params) if args.params else None
+        train_main(
+            args.dataset, scale=args.scale, n_steps=args.steps,
+            strategy=None if args.strategy == "none" else args.strategy,
+            opt_params=opt, holdout=args.holdout,
+            checkpoint=args.checkpoint, ply=args.ply, seed=args.seed,
+            max_instances=args.max_instances,
+        )
+    elif args.cmd == "benchmark":
+        from .api import benchmark
+
+        benchmark(
+            args.dataset, scale=args.scale, n_steps=args.steps,
+            strategies=tuple(args.strategies.split(",")), seed=args.seed,
+        )
+    elif args.cmd == "render":
+        from .api import render_views
+
+        render_views(args.model, args.dataset, args.out_dir,
+                     scale=args.scale, split=args.split)
+    elif args.cmd == "convert":
+        from .models.gaussians import export_ply, import_ply
+
+        if args.input.endswith(".ply"):
+            model = import_ply(args.input)
+            if args.output.endswith(".ply"):
+                export_ply(model, args.output)
+            else:
+                from .io.checkpoint import save_checkpoint
+                from .train.trainer import TrainState
+
+                save_checkpoint(args.output, TrainState.create(model))
+        else:
+            from .io.checkpoint import load_checkpoint
+
+            state, _, _ = load_checkpoint(args.input)
+            export_ply(state.model, args.output)
+        print(f"{args.input} -> {args.output}")
+
+
+if __name__ == "__main__":
+    _cli()

@@ -1,0 +1,233 @@
+"""Top-level entry points: headless training, benchmarking, view rendering.
+
+Mirrors the reference API layer (src/GaussianSplatting.jl:120-447):
+`main` = load dataset -> train -> validate/checkpoint; `benchmark` = the
+3DGS-paper-comparable protocol (30k steps, eval at 7k & 30k, llffhold=8,
+quantized metrics, per-config timing); `benchmark_scenes` + the MipNeRF-360
+per-scene scales; `render_views` replaces scripts/render-views.jl.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .data.colmap import load_colmap
+from .models.gaussians import GaussianModel, export_ply
+from .train.optim import OptimizationParams, reference_opt_params
+from .train.strategy import create_strategy
+from .train.trainer import Trainer
+
+# MipNeRF-360 per-scene image scales, for comparability with the 3DGS paper
+# (reference GaussianSplatting.jl:216-218).
+MIPNERF360_SCALES = {
+    "bicycle": 4, "flowers": 4, "garden": 4, "stump": 4, "treehill": 4,
+    "bonsai": 2, "counter": 2, "kitchen": 2, "room": 2,
+}
+
+
+def standard_scale(dataset_path: str) -> int:
+    """Per-scene scale by directory name; 1 otherwise
+    (GaussianSplatting.jl:226-227)."""
+    name = os.path.basename(os.path.normpath(dataset_path)).lower()
+    return MIPNERF360_SCALES.get(name, 1)
+
+
+def _build_trainer(
+    dataset, opt_params, strategy_name, *, capacity_factor=4, max_instances=1 << 20, seed=0,
+):
+    n0 = len(dataset.points)
+    model = GaussianModel.create(
+        dataset.points,
+        dataset.colors,
+        dataset.scales,
+        capacity=max(-(-n0 * capacity_factor // 4096) * 4096, 4096),
+        max_sh_degree=3,
+    )
+    strategy = create_strategy(strategy_name, seed=seed) if strategy_name else None
+    return Trainer(
+        model, dataset, opt_params=opt_params, strategy=strategy,
+        max_instances=max_instances, seed=seed,
+    )
+
+
+def main(
+    dataset_path: str,
+    *,
+    scale: int | None = None,
+    n_steps: int = 10_000,
+    strategy: str = "default",
+    opt_params: OptimizationParams | None = None,
+    holdout: int = 8,
+    checkpoint: str | None = None,
+    ply: str | None = None,
+    log_every: int = 100,
+    max_instances: int | None = None,
+    seed: int = 0,
+):
+    """Headless training (reference main, GaussianSplatting.jl:120-203)."""
+    scale = scale or standard_scale(dataset_path)
+    print(f"Loading {dataset_path} @ scale {scale}...", flush=True)
+    dataset = load_colmap(dataset_path, scale=scale, holdout=holdout)
+    print(
+        f"  {len(dataset.cameras)} views ({dataset.n_train} train / {dataset.n_test} test), "
+        f"{len(dataset.points)} points, extent {dataset.camera_extent:.2f}",
+        flush=True,
+    )
+    if max_instances is None:
+        # The chunked-scan fallback on CPU cannot stomach multi-million
+        # instance buffers; the Pallas path on TPU can.
+        max_instances = 1 << 21 if jax.default_backend() == "tpu" else 1 << 16
+    trainer = _build_trainer(dataset, opt_params, strategy, max_instances=max_instances, seed=seed)
+
+    t0 = time.perf_counter()
+    for start in range(0, n_steps, log_every):
+        trainer.train(min(log_every, n_steps - start))
+        v = trainer.validate() if dataset.n_test else {}
+        line = trainer.losses.breakdown_line()
+        extra = f" psnr={v['psnr']:.2f}" if v else ""
+        rate = trainer.step / (time.perf_counter() - t0)
+        print(
+            f"step {trainer.step}: {line}{extra} "
+            f"alive={int(trainer.state.model.n_alive)} ({rate:.1f} it/s)",
+            flush=True,
+        )
+
+    if checkpoint:
+        from .io.checkpoint import save_checkpoint
+
+        save_checkpoint(checkpoint, trainer.state, camera=dataset.cameras[0])
+        print(f"checkpoint -> {checkpoint}", flush=True)
+    if ply:
+        model = trainer.state.model
+        if trainer.sky is not None:
+            model = trainer.sky.merge_into(model, trainer.state.aux.get("sky_dc"))
+        export_ply(model, ply)
+        print(f"ply -> {ply}", flush=True)
+    return trainer
+
+
+def benchmark(
+    dataset_path: str,
+    *,
+    scale: int | None = None,
+    strategies: tuple = ("default", "mcmc"),
+    n_steps: int = 30_000,
+    eval_steps: tuple = (7_000, 30_000),
+    holdout: int = 8,
+    seed: int = 0,
+):
+    """The evaluation protocol (reference benchmark,
+    GaussianSplatting.jl:260-359): fixed seed per config, max_extent=inf,
+    quantized metrics at the eval steps, per-step timing; extensions off."""
+    scale = scale or standard_scale(dataset_path)
+    dataset = load_colmap(
+        dataset_path, scale=scale, holdout=holdout, max_extent=float("inf")
+    )
+    results = []
+    for strat in strategies:
+        trainer = _build_trainer(dataset, reference_opt_params(), strat, seed=seed)
+        t_train = 0.0
+        done = 0
+        for target in sorted(set(eval_steps) | {n_steps}):
+            if target > n_steps:
+                continue
+            t0 = time.perf_counter()
+            trainer.train(target - done)
+            t_train += time.perf_counter() - t0
+            done = target
+            v = trainer.validate(quantize=True)
+            row = {
+                "config": strat,
+                "step": done,
+                "minutes": t_train / 60.0,
+                "n_gaussians": int(trainer.state.model.n_alive),
+                "ssim": v.get("ssim", float("nan")),
+                "mse": v.get("mse", float("nan")),
+                "psnr": v.get("psnr", float("nan")),
+            }
+            results.append(row)
+            print_results([row])
+    return results
+
+
+def benchmark_scenes(root: str, scenes: list, **kw):
+    """benchmark() over a list of scene directories
+    (GaussianSplatting.jl:376-424)."""
+    all_results = {}
+    for scene in scenes:
+        print(f"=== {scene} ===", flush=True)
+        all_results[scene] = benchmark(os.path.join(root, scene), **kw)
+    print_scene_table(all_results)
+    return all_results
+
+
+def print_results(rows):
+    for r in rows:
+        print(
+            f"  {r['config']:>8} @ {r['step']:>6}: "
+            f"psnr={r['psnr']:.2f} ssim={r['ssim']:.4f} mse={r['mse']:.5f} "
+            f"n={r['n_gaussians']} t={r['minutes']:.1f}min",
+            flush=True,
+        )
+
+
+def print_scene_table(all_results: dict):
+    print("scene averages:")
+    by_key = {}
+    for scene, rows in all_results.items():
+        for r in rows:
+            by_key.setdefault((r["config"], r["step"]), []).append(r["psnr"])
+    for (config, step), psnrs in sorted(by_key.items()):
+        print(f"  {config} @ {step}: mean psnr {np.mean(psnrs):.2f} over {len(psnrs)} scenes")
+
+
+def render_views(
+    checkpoint_or_ply: str,
+    dataset_path: str,
+    out_dir: str,
+    *,
+    scale: int | None = None,
+    split: str = "test",
+    mode: str = "rgb",
+):
+    """Render dataset views from a trained model to PNGs
+    (replaces scripts/render-views.jl)."""
+    from PIL import Image
+
+    from .ops.rasterize import RasterizerConfig, render as _render
+
+    if checkpoint_or_ply.endswith(".ply"):
+        from .models.gaussians import import_ply
+
+        model = import_ply(checkpoint_or_ply)
+    else:
+        from .io.checkpoint import load_checkpoint
+
+        state, _, _ = load_checkpoint(checkpoint_or_ply)
+        model = state.model
+
+    scale = scale or standard_scale(dataset_path)
+    dataset = load_colmap(dataset_path, scale=scale)
+    ids = dataset.test_ids if split == "test" else dataset.train_ids
+    os.makedirs(out_dir, exist_ok=True)
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "pallas" if on_tpu else "scan"
+    max_instances = (1 << 21) if on_tpu else (1 << 16)
+    for vid in ids:
+        cam = dataset.cameras[vid]
+        cfg = RasterizerConfig(
+            width=cam.width, height=cam.height, mode=mode,
+            max_instances=max_instances, impl=impl,
+        )
+        img, _ = _render(*model.render_args(), camera=cam, config=cfg,
+                         sh_degree=model.max_sh_degree)
+        arr = np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8)
+        out = os.path.join(out_dir, os.path.splitext(dataset.names[vid])[0] + ".png")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        Image.fromarray(arr).save(out)
+        print(f"  {out}", flush=True)

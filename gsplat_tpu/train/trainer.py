@@ -316,6 +316,9 @@ class Trainer:
         self.sh_degree = 0
         self.impl = "pallas" if jax.default_backend() == "tpu" else "scan"
         self.history: list = []
+        from .logging import LossTracker
+
+        self.losses = LossTracker()
 
         # --- optional subsystems (training.jl:295-394) ---
         self.anchors = None
@@ -495,6 +498,9 @@ class Trainer:
         )
         if self.strategy is not None:
             self.state = self.strategy.post_train_step(self.state, self, step + 1)
+        terms = {k: float(v) for k, v in metrics["terms"].items()}
+        terms["total"] = float(metrics["loss"])
+        self.losses.record(self.step, terms)
         if bool(metrics["overflow"]):
             # The instance budget truncated this step's render: grow the
             # buffer (replaces the reference's grow-only binning buffers,

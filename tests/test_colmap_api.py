@@ -1,0 +1,184 @@
+"""COLMAP binary I/O round-trip + API layer (main/benchmark/CLI).
+
+The reference leans on NerfUtils for COLMAP parsing; here the parsers are
+ours, so they get a write-read round-trip test against a synthesized scene.
+"""
+import os
+import struct as _struct
+
+import numpy as np
+import pytest
+
+from gsplat_tpu.data.colmap import (
+    load_colmap,
+    make_synthetic_dataset,
+    read_cameras_bin,
+    read_images_bin,
+    read_points3d_bin,
+    round_up16,
+)
+from gsplat_tpu.train.params_io import load_opt_params, save_opt_params, with_params
+from gsplat_tpu.train.optim import OptimizationParams
+from gsplat_tpu.train.logging import LossHistory, LossLog, LossTracker
+
+
+def write_colmap_scene(root, dataset):
+    """Serialize a synthetic dataset as a COLMAP binary scene + images/."""
+    from PIL import Image
+
+    sparse = os.path.join(root, "sparse", "0")
+    os.makedirs(sparse, exist_ok=True)
+    imgdir = os.path.join(root, "images")
+    os.makedirs(imgdir, exist_ok=True)
+
+    cam0 = dataset.cameras[0]
+    with open(os.path.join(sparse, "cameras.bin"), "wb") as f:
+        f.write(_struct.pack("<Q", 1))
+        fx, fy = float(cam0.focal[0]), float(cam0.focal[1])
+        cx = float(cam0.principal[0]) * cam0.width
+        cy = float(cam0.principal[1]) * cam0.height
+        f.write(_struct.pack("<iiQQ", 1, 1, cam0.width, cam0.height))  # PINHOLE
+        f.write(_struct.pack("<4d", fx, fy, cx, cy))
+
+    def rot_to_qvec(R):
+        w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+        x = (R[2, 1] - R[1, 2]) / (4 * w)
+        y = (R[0, 2] - R[2, 0]) / (4 * w)
+        z = (R[1, 0] - R[0, 1]) / (4 * w)
+        return np.array([w, x, y, z])
+
+    with open(os.path.join(sparse, "images.bin"), "wb") as f:
+        f.write(_struct.pack("<Q", len(dataset.cameras)))
+        for i, cam in enumerate(dataset.cameras):
+            q = rot_to_qvec(np.asarray(cam.R, np.float64))
+            t = np.asarray(cam.t, np.float64)
+            f.write(_struct.pack("<i", i + 1))
+            f.write(_struct.pack("<4d", *q))
+            f.write(_struct.pack("<3d", *t))
+            f.write(_struct.pack("<i", 1))
+            f.write(dataset.names[i].encode() + b"\x00")
+            f.write(_struct.pack("<Q", 0))
+            img = (np.asarray(dataset.images[i]) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(imgdir, dataset.names[i]))
+
+    with open(os.path.join(sparse, "points3D.bin"), "wb") as f:
+        f.write(_struct.pack("<Q", len(dataset.points)))
+        for i, (p, c) in enumerate(zip(dataset.points, dataset.colors)):
+            f.write(_struct.pack("<Q", i + 1))
+            f.write(_struct.pack("<3d", *p.astype(np.float64)))
+            f.write(_struct.pack("<3B", *(c * 255).astype(np.uint8)))
+            f.write(_struct.pack("<d", 0.5))
+            f.write(_struct.pack("<Q", 0))
+
+
+@pytest.fixture(scope="module")
+def colmap_scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    ds = make_synthetic_dataset(n_points=100, n_views=9, width=48, height=48)
+    write_colmap_scene(root, ds)
+    return root, ds
+
+
+def test_colmap_binary_roundtrip(colmap_scene):
+    root, ds = colmap_scene
+    sparse = os.path.join(root, "sparse", "0")
+    cams = read_cameras_bin(os.path.join(sparse, "cameras.bin"))
+    assert cams[1]["model"] == "PINHOLE"
+    assert cams[1]["width"] == 48
+    imgs = read_images_bin(os.path.join(sparse, "images.bin"))
+    assert len(imgs) == 9
+    assert imgs[1]["name"] == ds.names[0]
+    xyz, rgb = read_points3d_bin(os.path.join(sparse, "points3D.bin"))
+    np.testing.assert_allclose(xyz, ds.points, atol=1e-6)
+    np.testing.assert_allclose(rgb / 255.0, ds.colors, atol=1 / 255.0)
+
+
+def test_load_colmap_dataset(colmap_scene):
+    root, ds = colmap_scene
+    loaded = load_colmap(root, holdout=4)
+    assert len(loaded.cameras) == 9
+    assert loaded.test_ids == [0, 4, 8]
+    assert len(loaded.train_ids) == 6
+    # Camera poses survive the quaternion round-trip.
+    i = ds.names.index(loaded.names[0])
+    np.testing.assert_allclose(
+        np.asarray(loaded.cameras[0].R), np.asarray(ds.cameras[i].R), atol=1e-5
+    )
+    # Images round-trip through 8-bit PNG.
+    np.testing.assert_allclose(loaded.images[0], ds.images[i], atol=2 / 255.0)
+    assert loaded.camera_extent == pytest.approx(ds.camera_extent, rel=1e-3)
+    # Initial scales from the kNN heuristic are positive.
+    assert np.all(loaded.scales > 0)
+
+
+def test_round_up16():
+    assert round_up16(48) == 48
+    assert round_up16(47) == 48
+    assert round_up16(49) == 64
+
+
+def test_main_trains_on_colmap_scene(colmap_scene, tmp_path):
+    from gsplat_tpu.api import main
+
+    root, _ = colmap_scene
+    ck = str(tmp_path / "out.safetensors")
+    ply = str(tmp_path / "out.ply")
+    trainer = main(
+        root, scale=1, n_steps=20, strategy=None, holdout=4,
+        checkpoint=ck, ply=ply, log_every=10, max_instances=8192,
+    )
+    assert trainer.step == 20
+    assert os.path.exists(ck) and os.path.exists(ply)
+    from gsplat_tpu.models.gaussians import import_ply
+
+    m = import_ply(ply)
+    assert int(m.n_alive) > 0
+
+
+def test_opt_params_toml_roundtrip(tmp_path):
+    p = OptimizationParams(use_sky_dome=True, lr_feature=1e-3, sky_dome_points=1000)
+    path = str(tmp_path / "params.toml")
+    save_opt_params(path, p)
+    p2 = load_opt_params(path)
+    assert p2 == p
+    # Partial file takes defaults.
+    with open(path, "w") as f:
+        f.write('lambda_dssim = 0.3\n')
+    p3 = load_opt_params(path)
+    assert p3.lambda_dssim == 0.3
+    assert p3.lr_feature == OptimizationParams().lr_feature
+    # Strict errors.
+    with pytest.raises(KeyError):
+        with_params(p, nonsense=1)
+    with pytest.raises(TypeError):
+        with_params(p, lambda_dssim="high")
+    with pytest.raises(ValueError):
+        with_params(p, sky_dome_shape="cube")
+    with pytest.raises(TypeError):
+        with_params(p, use_sky_dome=1)
+
+
+def test_loss_log_ema():
+    log = LossLog(horizon=10)
+    for _ in range(100):
+        log.record(2.0)
+    assert log.smoothed == pytest.approx(2.0, rel=1e-6)
+    # Bias correction: early smoothed value equals the sample, not a
+    # zero-diluted average.
+    log2 = LossLog(horizon=200)
+    log2.record(5.0)
+    assert log2.smoothed == pytest.approx(5.0, rel=1e-6)
+
+
+def test_loss_history_thinning():
+    h = LossHistory(capacity=16)
+    for step in range(100):
+        h.record(step, {"total": float(step)})
+    assert len(h.steps) <= 16
+    assert h.interval > 1
+    # Monotone steps, last sample recent.
+    assert h.steps == sorted(h.steps)
+    assert h.steps[-1] >= 90 - h.interval
+    snap = h.snapshot()
+    snap["steps"].append(999)
+    assert h.steps[-1] != 999  # snapshot isolation
