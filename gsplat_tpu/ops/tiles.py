@@ -104,7 +104,9 @@ def build_instances(
 
     # Fill each slot with its owning gaussian: scatter id+1 at each gaussian's
     # first slot (max resolves collisions from zero-count gaussians in favor
-    # of the later — real — writer), then a cumulative max.
+    # of the later — real — writer), then a cumulative max. (Measured on TPU
+    # v5e this beats a searchsorted formulation ~20x: XLA lowers the big
+    # batched binary search to serial gather passes.)
     gid1 = jnp.arange(1, N + 1, dtype=jnp.int32)
     markers = jnp.zeros((I,), jnp.int32).at[offsets].max(
         jnp.where(counts > 0, gid1, 0), mode="drop"
@@ -115,10 +117,17 @@ def build_instances(
     slot_valid = (slot < total) & (slot_gid >= 0)
     g = jnp.clip(slot_gid, 0, max(N - 1, 0))
 
-    rank = slot - offsets[g]
-    w = jnp.maximum(rect_w[g], 1)
-    tx = rmin[g, 0] + rank % w
-    ty = rmin[g, 1] + rank // w
+    # ONE multi-column row gather for all per-gaussian values the expansion
+    # needs (several separate (I,)<-(N,) gathers cost ~2.5 ms each on v5e;
+    # the packed row gather costs one).
+    depth_u = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    pack_g = jnp.stack([offsets, rect_w, rmin[:, 0], rmin[:, 1], depth_u], axis=1)
+    pg = pack_g[g]  # (I, 5)
+
+    rank = slot - pg[:, 0]
+    w = jnp.maximum(pg[:, 1], 1)
+    tx = pg[:, 2] + rank % w
+    ty = pg[:, 3] + rank // w
     tile = ty * gx + tx
 
     # Single-key u32 sort: [tile | truncated depth bits]. The reference packs
@@ -130,7 +139,7 @@ def build_instances(
     # unordered as the reference's unstable sortperm!).
     tile_bits = max((n_tiles + 1).bit_length(), 1)
     depth_bits = 32 - tile_bits
-    d_u = jax.lax.bitcast_convert_type(depth[g].astype(jnp.float32), jnp.uint32) >> jnp.uint32(tile_bits)
+    d_u = pg[:, 4].astype(jnp.uint32) >> jnp.uint32(tile_bits)
     key = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | d_u
     key = jnp.where(slot_valid, key, jnp.uint32(0xFFFFFFFF))
     sorted_key, sorted_gid = jax.lax.sort_key_val(key, jnp.where(slot_valid, g, -1))
@@ -149,9 +158,9 @@ def build_instances(
 
     sslot = jnp.arange(I, dtype=jnp.int32)
     st = jnp.clip(sorted_tile, 0, n_tiles - 1)
-    dest = jnp.where(
-        sorted_tile < n_tiles, tile_start[st] + (sslot - start[st]), I_pad
-    )
+    pack_t = jnp.stack([tile_start, start], axis=1)  # one gather, not two
+    pt = pack_t[st]  # (I, 2)
+    dest = jnp.where(sorted_tile < n_tiles, pt[:, 0] + (sslot - pt[:, 1]), I_pad)
     padded_ids = jnp.full((I_pad,), -1, jnp.int32).at[dest].set(sorted_gid, mode="drop")
 
     overflow = (total > I) | (p_total > I_pad)

@@ -31,7 +31,12 @@ def _gaussian_taps(n: int = SSIM_WINDOW, sigma: float = SSIM_SIGMA):
 
 
 def _blur(img):
-    """Separable 11-tap Gaussian filter, same padding. img: (H, W, C)."""
+    """Separable 11-tap Gaussian filter, same padding. img: (H, W, C).
+
+    All C maps ride ONE depthwise conv pair — the fused-SSIM caller stacks
+    its five moment maps into 15 channels, so the whole window pass is two
+    convolutions instead of ten (the fusion the reference hand-writes in its
+    kernel, fused_ssim.jl:34-238)."""
     c = img.shape[-1]
     taps = _gaussian_taps()
     x = img[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
@@ -50,11 +55,14 @@ def _blur(img):
 
 def ssim(x, y):
     """Mean SSIM over the image; x, y: (H, W, C) in [0, 1]."""
-    mu_x = _blur(x)
-    mu_y = _blur(y)
-    mu_xx = _blur(x * x)
-    mu_yy = _blur(y * y)
-    mu_xy = _blur(x * y)
+    c = x.shape[-1]
+    stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
+    blurred = _blur(stacked)
+    mu_x = blurred[..., 0:c]
+    mu_y = blurred[..., c : 2 * c]
+    mu_xx = blurred[..., 2 * c : 3 * c]
+    mu_yy = blurred[..., 3 * c : 4 * c]
+    mu_xy = blurred[..., 4 * c : 5 * c]
     var_x = mu_xx - mu_x * mu_x
     var_y = mu_yy - mu_y * mu_y
     cov = mu_xy - mu_x * mu_y

@@ -78,11 +78,7 @@ class TrainState:
 LOSS_TERMS = ("l1", "ssim", "reg", "tv", "depth", "sky", "flatten", "normal")
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "opt_params", "camera_extent", "reg_weights", "features", "sky"),
-)
-def train_step(
+def _step_core(
     state: TrainState,
     camera: Camera,
     target,  # (H, W, 3) f32
@@ -247,6 +243,19 @@ def train_step(
         stat_denom=jnp.where(visible, state.stat_denom + 1.0, state.stat_denom),
         aux=new_aux,
     )
+    # All step metrics ride ONE device->host transfer (the reference's
+    # single per-step loss D2H, training.jl:756); individual entries remain
+    # for tests/tools that want device values.
+    packed = jnp.stack(
+        [
+            loss,
+            parts["l1"],
+            parts["ssim"],
+            aux["n_instances"].astype(jnp.float32),
+            aux["overflow"].astype(jnp.float32),
+        ]
+        + [jnp.asarray(terms[k], jnp.float32) for k in LOSS_TERMS]
+    )
     metrics = {
         "loss": loss,
         "l1": parts["l1"],
@@ -254,8 +263,42 @@ def train_step(
         "n_instances": aux["n_instances"],
         "overflow": aux["overflow"],
         "terms": terms,
+        "packed": packed,
     }
     return new_state, metrics
+
+
+train_step = partial(
+    jax.jit,
+    static_argnames=("config", "opt_params", "camera_extent", "reg_weights", "features", "sky"),
+)(_step_core)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "opt_params", "camera_extent", "reg_weights", "features", "sky"),
+)
+def train_chunk(
+    state: TrainState,
+    cameras: Camera,  # K-stacked pytree (static resolution shared)
+    targets,  # (K, H, W, 3)
+    backgrounds,  # (K, 3)
+    sh_degrees,  # (K,) int32
+    view_idxs,  # (K,) int32
+    extras,  # K-stacked per-view dict
+    **kw,
+):
+    """K training steps in ONE dispatch via lax.scan — amortizes the
+    host->device dispatch/sync overhead that dominates remote-TPU training
+    (the reference pays a full host round-trip per step, training.jl:756).
+    Returns (state, packed metrics (K, 13))."""
+
+    def body(state, xs):
+        cam, tgt, bg, shd, vi, ex = xs
+        state, metrics = _step_core(state, cam, tgt, bg, shd, vi, ex, **kw)
+        return state, metrics["packed"]
+
+    return jax.lax.scan(body, state, (cameras, targets, backgrounds, sh_degrees, view_idxs, extras))
 
 
 @partial(jax.jit, static_argnames=("config", "quantize", "sky"))
@@ -301,6 +344,8 @@ class Trainer:
         max_instances: int = 1 << 20,
         strategy=None,
         sh_ramp_every: int = 1000,
+        metrics_every: int | None = None,
+        cache_images_on_device: bool = True,
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -319,6 +364,17 @@ class Trainer:
         from .logging import LossTracker
 
         self.losses = LossTracker()
+        # Host<->device sync policy: blocking on freshly dispatched work is
+        # expensive on remote TPUs, so metrics (incl. the overflow flag) are
+        # fetched every `metrics_every` steps instead of every step. The last
+        # fetched values are reported in between.
+        if metrics_every is None:
+            metrics_every = 10 if jax.default_backend() == "tpu" else 1
+        self.metrics_every = max(1, metrics_every)
+        self.chunk_steps = 20 if jax.default_backend() == "tpu" else 4
+        self._last_metrics = None
+        self._pending = None  # (step, packed device array)
+        self._image_cache: dict = {} if cache_images_on_device else None
 
         # --- optional subsystems (training.jl:295-394) ---
         self.anchors = None
@@ -470,6 +526,10 @@ class Trainer:
             self.sh_degree = min(self.sh_degree + 1, self.state.model.max_sh_degree)
 
         camera, image, ti, vid = self._next_view()
+        if self._image_cache is not None:
+            if vid not in self._image_cache:
+                self._image_cache[vid] = jnp.asarray(image)
+            image = self._image_cache[vid]
         cfg = self.config_for(camera)
         if self.opt_params.random_background:
             background = jnp.asarray(self.rng.random(3), jnp.float32)
@@ -498,9 +558,10 @@ class Trainer:
         )
         if self.strategy is not None:
             self.state = self.strategy.post_train_step(self.state, self, step + 1)
-        terms = {k: float(v) for k, v in metrics["terms"].items()}
-        terms["total"] = float(metrics["loss"])
-        self.losses.record(self.step, terms)
+        self._pending = (self.step, metrics["packed"])
+        if self.step % self.metrics_every == 0 or self._last_metrics is None:
+            self._drain_metrics()
+        metrics = self._last_metrics
         if bool(metrics["overflow"]):
             # The instance budget truncated this step's render: grow the
             # buffer (replaces the reference's grow-only binning buffers,
@@ -514,19 +575,181 @@ class Trainer:
             )
         return metrics
 
+    def _drain_metrics(self):
+        """Fetch the most recent packed metrics (ONE host sync) and record
+        the loss breakdown."""
+        if self._pending is None:
+            return self._last_metrics
+        at_step, packed = self._pending
+        self._pending = None
+        packed = np.asarray(packed)
+        m = {
+            "loss": float(packed[0]),
+            "l1": float(packed[1]),
+            "ssim": float(packed[2]),
+            "n_instances": int(packed[3]),
+            "overflow": packed[4] > 0.5,
+            "terms": dict(zip(LOSS_TERMS, (float(x) for x in packed[5:]))),
+        }
+        terms = dict(m["terms"])
+        terms["total"] = m["loss"]
+        self.losses.record(at_step, terms)
+        self._last_metrics = m
+        return m
+
+    # -- chunked (scan) training ------------------------------------------
+
+    def _can_chunk(self) -> bool:
+        """lax.scan chunking applies when no per-step host intervention is
+        required: strategy is None or ADC (its per-step stats are already
+        inside the step; refine/reset run at chunk boundaries). MCMC injects
+        noise every step host-side, so it stays on the per-step path."""
+        from .strategy import DefaultStrategy
+
+        if self.strategy is not None and not isinstance(self.strategy, DefaultStrategy):
+            return False
+        res = {(c.width, c.height) for c in self.dataset.cameras}
+        return len(res) == 1
+
+    def _next_boundary(self, step: int) -> int:
+        """Next step index where the host must intervene."""
+        from .strategy import DefaultStrategy
+
+        bounds = []
+        if isinstance(self.strategy, DefaultStrategy):
+            st = self.strategy
+            if step <= st.densify_until_iter:
+                bounds.append(st.densification_interval)
+            bounds.append(st.opacity_reset_interval)
+        nxt = step + self.chunk_steps
+        for b in bounds:
+            nxt = min(nxt, (step // b + 1) * b)
+        return nxt
+
+    def _train_chunk(self, k: int):
+        """Run k steps in one dispatch."""
+        cams, targets, tis, extras = [], [], [], []
+        sh_degrees = []
+        step = self.step
+        for j in range(k):
+            if (step + j) > 0 and (step + j) % self.sh_ramp_every == 0:
+                self.sh_degree = min(self.sh_degree + 1, self.state.model.max_sh_degree)
+            camera, image, ti, vid = self._next_view()
+            if self._image_cache is not None:
+                if vid not in self._image_cache:
+                    self._image_cache[vid] = jnp.asarray(image)
+                image = self._image_cache[vid]
+            cams.append(camera)
+            targets.append(image if isinstance(image, jnp.ndarray) else jnp.asarray(image))
+            tis.append(ti)
+            extras.append(self._extras_for(camera, vid))
+            sh_degrees.append(self.sh_degree)
+
+        from ..parallel.data_parallel import batch_cameras
+
+        cam_b = batch_cameras(cams)
+        targets_b = jnp.stack(targets)
+        if self.opt_params.random_background:
+            bgs = jnp.asarray(self.rng.random((k, 3)), jnp.float32)
+        else:
+            bgs = jnp.zeros((k, 3), jnp.float32)
+        ex_b = (
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *extras)
+            if extras[0]
+            else {}
+        )
+        reg = (
+            self.strategy.regularization_loss_weights()
+            if self.strategy is not None
+            else (0.0, 0.0)
+        )
+        cfg = self.config_for(cams[0])
+        self.state, packs = train_chunk(
+            self.state,
+            cam_b,
+            targets_b,
+            bgs,
+            jnp.asarray(sh_degrees, jnp.int32),
+            jnp.asarray(tis, jnp.int32),
+            ex_b,
+            config=cfg,
+            opt_params=self.opt_params,
+            camera_extent=self.camera_extent,
+            reg_weights=reg,
+            features=self.features,
+            sky=self.sky,
+        )
+        self._pending = (self.step, packs)
+
+    def _drain_chunk_metrics(self):
+        if self._pending is None:
+            return self._last_metrics
+        at_step, packed = self._pending
+        self._pending = None
+        packed = np.asarray(packed)
+        if packed.ndim == 1:
+            packed = packed[None]
+        overflow = False
+        for j, row in enumerate(packed):
+            m = {
+                "loss": float(row[0]),
+                "l1": float(row[1]),
+                "ssim": float(row[2]),
+                "n_instances": int(row[3]),
+                "overflow": row[4] > 0.5,
+                "terms": dict(zip(LOSS_TERMS, (float(x) for x in row[5:]))),
+            }
+            overflow |= m["overflow"]
+            terms = dict(m["terms"])
+            terms["total"] = m["loss"]
+            self.losses.record(at_step + j + 1, terms)
+        m["overflow"] = overflow
+        self._last_metrics = m
+        return m
+
     def train(self, n_steps: int, log_every: int = 0):
+        if not self._can_chunk():
+            return self._train_stepwise(n_steps, log_every)
+        end = self.step + n_steps
+        while self.step < end:
+            step = self.step
+            nxt = min(self._next_boundary(step), end)
+            if log_every:
+                nxt = min(nxt, (step // log_every + 1) * log_every)
+            self._train_chunk(nxt - step)
+            m = self._drain_chunk_metrics()
+            if self.strategy is not None:
+                self.state = self.strategy.post_train_step(self.state, self, self.step)
+            if bool(m["overflow"]):
+                self.max_instances *= 2
+                self._configs.clear()
+                print(
+                    f"[trainer] instance budget overflow near step {self.step}; "
+                    f"growing max_instances to {self.max_instances}",
+                    flush=True,
+                )
+            if log_every and self.step % log_every == 0:
+                self._log_line(m)
+        return self.state
+
+    def _train_stepwise(self, n_steps: int, log_every: int = 0):
         for i in range(n_steps):
             m = self.train_step()
             if log_every and (self.step % log_every == 0 or i == n_steps - 1):
-                loss = float(m["loss"])
-                self.history.append((self.step, loss))
-                print(
-                    f"step {self.step}: loss={loss:.5f} l1={float(m['l1']):.5f} "
-                    f"ssim={float(m['ssim']):.4f} "
-                    f"alive={int(self.state.model.n_alive)}",
-                    flush=True,
-                )
+                m = self._drain_metrics() or m
+                self._log_line(m)
+        self._drain_metrics()
         return self.state
+
+    def _log_line(self, m):
+        loss = float(m["loss"])
+        self.history.append((self.step, loss))
+        print(
+            f"step {self.step}: loss={loss:.5f} l1={float(m['l1']):.5f} "
+            f"ssim={float(m['ssim']):.4f} "
+            f"alive={int(self.state.model.n_alive)}",
+            flush=True,
+        )
 
     def validate(self, quantize: bool = True) -> dict:
         """Mean SSIM/MSE/PSNR over test views, per-view-then-mean
