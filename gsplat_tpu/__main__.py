@@ -41,6 +41,21 @@ def _cli():
     c.add_argument("input")
     c.add_argument("output")
 
+    v = sub.add_parser("view", help="interactive web viewer")
+    v.add_argument("model", help=".safetensors checkpoint or .ply")
+    v.add_argument("--port", type=int, default=8000)
+    v.add_argument("--width", type=int, default=1024)
+    v.add_argument("--height", type=int, default=576)
+
+    cp = sub.add_parser("capture", help="render a keyframed camera path to video/frames")
+    cp.add_argument("model")
+    cp.add_argument("path_toml")
+    cp.add_argument("out", help=".mp4 or a directory for PNG frames")
+    cp.add_argument("--frames", type=int, default=120)
+    cp.add_argument("--fps", type=int, default=30)
+    cp.add_argument("--width", type=int, default=1280)
+    cp.add_argument("--height", type=int, default=720)
+
     args = p.parse_args()
 
     if args.cmd == "train":
@@ -85,6 +100,35 @@ def _cli():
             state, _, _ = load_checkpoint(args.input)
             export_ply(state.model, args.output)
         print(f"{args.input} -> {args.output}")
+    elif args.cmd == "view":
+        from .viewer import Viewer
+
+        model = _load_model(args.model)
+        Viewer(model, width=args.width, height=args.height).serve(port=args.port)
+    elif args.cmd == "capture":
+        from .camera import Camera
+        from .utils.camera_path import CameraPath, capture_path
+        import numpy as np
+
+        model = _load_model(args.model)
+        path = CameraPath.load(args.path_toml)
+        base = Camera.create(
+            width=args.width, height=args.height,
+            focal=np.array([0.8 * args.width, 0.8 * args.width], np.float32),
+        )
+        out = capture_path(model, path, base, args.out, n_frames=args.frames, fps=args.fps)
+        print(f"captured -> {out}")
+
+
+def _load_model(path: str):
+    if path.endswith(".ply"):
+        from .models.gaussians import import_ply
+
+        return import_ply(path)
+    from .io.checkpoint import load_checkpoint
+
+    state, _, _ = load_checkpoint(path)
+    return state.model
 
 
 if __name__ == "__main__":

@@ -346,6 +346,8 @@ class Trainer:
         sh_ramp_every: int = 1000,
         metrics_every: int | None = None,
         cache_images_on_device: bool = True,
+        autosave_every: int = 0,
+        autosave_path: str | None = None,
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -375,6 +377,11 @@ class Trainer:
         self._last_metrics = None
         self._pending = None  # (step, packed device array)
         self._image_cache: dict = {} if cache_images_on_device else None
+        self.autosave_every = autosave_every
+        self.autosave_path = autosave_path
+        self._autosave_failed = False
+        self.train_time = 0.0  # wall seconds inside train()/train_step()
+        self.train_steps_timed = 0
 
         # --- optional subsystems (training.jl:295-394) ---
         self.anchors = None
@@ -594,6 +601,16 @@ class Trainer:
         terms = dict(m["terms"])
         terms["total"] = m["loss"]
         self.losses.record(at_step, terms)
+        if not np.isfinite(m["loss"]):
+            msg = (
+                f"Loss is not finite ({m['loss']}) near step {at_step} — "
+                "aborting before the parameters are corrupted further."
+            )
+            from ..utils.debug import debug_enabled
+
+            if debug_enabled():
+                msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
+            raise FloatingPointError(msg)
         self._last_metrics = m
         return m
 
@@ -703,11 +720,31 @@ class Trainer:
             terms = dict(m["terms"])
             terms["total"] = m["loss"]
             self.losses.record(at_step + j + 1, terms)
+        if not np.isfinite(m["loss"]):
+            msg = (
+                f"Loss is not finite ({m['loss']}) near step {at_step + j + 1} — "
+                "aborting before the parameters are corrupted further."
+            )
+            from ..utils.debug import debug_enabled
+
+            if debug_enabled():
+                msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
+            raise FloatingPointError(msg)
         m["overflow"] = overflow
         self._last_metrics = m
         return m
 
     def train(self, n_steps: int, log_every: int = 0):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            return self._train(n_steps, log_every)
+        finally:
+            self.train_time += _time.perf_counter() - t0
+            self.train_steps_timed += n_steps
+
+    def _train(self, n_steps: int, log_every: int = 0):
         if not self._can_chunk():
             return self._train_stepwise(n_steps, log_every)
         end = self.step + n_steps
@@ -730,6 +767,7 @@ class Trainer:
                 )
             if log_every and self.step % log_every == 0:
                 self._log_line(m)
+            self._maybe_autosave()
         return self.state
 
     def _train_stepwise(self, n_steps: int, log_every: int = 0):
@@ -738,8 +776,60 @@ class Trainer:
             if log_every and (self.step % log_every == 0 or i == n_steps - 1):
                 m = self._drain_metrics() or m
                 self._log_line(m)
+            self._maybe_autosave()
         self._drain_metrics()
         return self.state
+
+    def _forensics(self) -> str:
+        """Re-run the last step's gradients eagerly and report the offending
+        rows (reference nonfinite_gradient_report, training.jl:534-573)."""
+        from ..utils.debug import nonfinite_gradient_report
+
+        try:
+            camera, image, ti, vid = self._next_view()
+            cfg = self.config_for(camera)
+            params = self.state.model.params()
+
+            def loss_fn(params):
+                model = self.state.model.replace_params(params)
+                img, _ = render(
+                    *model.render_args(), camera=camera, config=cfg,
+                    sh_degree=self.sh_degree,
+                )
+                return photometric_loss(img[..., :3], jnp.asarray(image))[0]
+
+            grads = jax.grad(loss_fn)(params)
+            return nonfinite_gradient_report(grads, self.state.model)
+        except Exception as e:  # forensics must never mask the original error
+            return f"(forensics failed: {e})"
+
+    def _maybe_autosave(self):
+        """Periodic checkpoint with step-suffixed filename; self-disables on
+        failure (reference gui/worker.jl:323-357)."""
+        if (
+            not self.autosave_every
+            or self._autosave_failed
+            or self.autosave_path is None
+            or self.step == 0
+            or self.step % self.autosave_every != 0
+        ):
+            return
+        import os
+
+        from ..io.checkpoint import save_checkpoint
+
+        base, ext = os.path.splitext(self.autosave_path)
+        path = f"{base}-{self.step:06d}{ext or '.safetensors'}"
+        try:
+            save_checkpoint(path, self.state)
+            print(f"[trainer] autosave -> {path}", flush=True)
+        except Exception as e:
+            self._autosave_failed = True
+            print(f"[trainer] autosave failed ({e}); autosave disabled", flush=True)
+
+    @property
+    def ms_per_step(self) -> float:
+        return 1000.0 * self.train_time / max(self.train_steps_timed, 1)
 
     def _log_line(self, m):
         loss = float(m["loss"])

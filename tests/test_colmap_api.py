@@ -182,3 +182,61 @@ def test_loss_history_thinning():
     snap = h.snapshot()
     snap["steps"].append(999)
     assert h.steps[-1] != 999  # snapshot isolation
+
+
+def test_camera_path_spline_and_io(tmp_path):
+    from gsplat_tpu.camera import Camera, look_at
+    from gsplat_tpu.utils.camera_path import CameraPath
+
+    path = CameraPath()
+    for i in range(4):
+        ang = i * np.pi / 4
+        R, t = look_at(np.array([3 * np.cos(ang), 0.5, 3 * np.sin(ang)]), np.zeros(3))
+        path.append(Camera.create(R=R, t=t, width=64, height=64,
+                                  focal=np.array([60.0, 60.0], np.float32)))
+    # Endpoint interpolation hits the keyframes.
+    R0, t0 = path.sample(0.0)
+    c0 = -R0.T @ t0
+    np.testing.assert_allclose(c0, path.positions[0], atol=1e-5)
+    R1, t1 = path.sample(1.0)
+    np.testing.assert_allclose(-R1.T @ t1, path.positions[-1], atol=1e-5)
+    # Rotations stay orthonormal along the path.
+    for u in np.linspace(0, 1, 9):
+        R, _ = path.sample(float(u))
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # TOML round-trip.
+    f = str(tmp_path / "path.toml")
+    path.save(f)
+    p2 = CameraPath.load(f)
+    np.testing.assert_allclose(np.stack(p2.positions), np.stack(path.positions), atol=1e-12)
+    np.testing.assert_allclose(np.stack(p2.quats), np.stack(path.quats), atol=1e-12)
+
+
+def test_memory_usage_and_debug_report():
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.trainer import TrainState
+    from gsplat_tpu.utils.debug import memory_usage, nonfinite_gradient_report
+    import jax.numpy as jnp
+
+    pts = np.zeros((10, 3), np.float32)
+    model = GaussianModel.create(pts, np.full((10, 3), 0.5, np.float32),
+                                 np.full(10, 0.1, np.float32), max_sh_degree=0)
+    state = TrainState.create(model)
+    mu = memory_usage(state)
+    assert mu["model"] > 0 and mu["total"] > mu["model"]
+    grads = {"points": jnp.zeros((10, 3)).at[3, 1].set(jnp.nan)}
+    rep = nonfinite_gradient_report(grads, model)
+    assert "points" in rep and "3" in rep
+
+
+def test_viewer_render_frame():
+    from gsplat_tpu.data.colmap import make_synthetic_dataset
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.viewer import Viewer
+
+    ds = make_synthetic_dataset(n_points=50, n_views=3, width=48, height=48)
+    model = GaussianModel.create(ds.points, ds.colors, ds.scales, max_sh_degree=0)
+    v = Viewer(model, width=64, height=64, max_instances=4096)
+    jpeg = v.render_frame([4.0, 1.0, 0.0], [0.0, 0.0, 0.0])
+    assert jpeg[:2] == b"\xff\xd8"  # JPEG magic
+    assert v.info()["n_gaussians"] == 50
