@@ -56,6 +56,12 @@ def _cli():
     cp.add_argument("--width", type=int, default=1280)
     cp.add_argument("--height", type=int, default=720)
 
+    ef = sub.add_parser("extract-frames", help="extract video frames for dataset prep")
+    ef.add_argument("video")
+    ef.add_argument("out_dir")
+    ef.add_argument("--every", type=int, default=1, help="keep every Nth frame")
+    ef.add_argument("--limit", type=int, default=0)
+
     args = p.parse_args()
 
     if args.cmd == "train":
@@ -118,6 +124,25 @@ def _cli():
         )
         out = capture_path(model, path, base, args.out, n_frames=args.frames, fps=args.fps)
         print(f"captured -> {out}")
+    elif args.cmd == "extract-frames":
+        import os
+
+        import imageio.v2 as imageio
+        from PIL import Image
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        n = 0
+        reader = imageio.get_reader(args.video)
+        for i, frame in enumerate(reader):
+            if i % args.every:
+                continue
+            Image.fromarray(frame).save(
+                os.path.join(args.out_dir, f"frame_{n:05d}.png")
+            )
+            n += 1
+            if args.limit and n >= args.limit:
+                break
+        print(f"extracted {n} frames -> {args.out_dir}")
 
 
 def _load_model(path: str):

@@ -44,6 +44,12 @@ def save_checkpoint(path: str, state, camera=None, metadata: dict | None = None)
     tensors["stats.max_radii"] = _np(state.max_radii)[alive]
     tensors["stats.grad_accum"] = _np(state.grad_accum)[alive]
     tensors["stats.denom"] = _np(state.stat_denom)[alive]
+    # Optional subsystem groups, detected by key presence on load
+    # (reference: bilateral.*, sky.* groups, checkpoint.jl schema).
+    for k, v in (state.aux or {}).items():
+        tensors[f"aux.{k}"] = _np(v)
+        tensors[f"optimizers.aux.{k}.mu"] = _np(state.opt["mu"][k])
+        tensors[f"optimizers.aux.{k}.nu"] = _np(state.opt["nu"][k])
     if camera is not None:
         tensors["camera.R"] = _np(camera.R)
         tensors["camera.t"] = _np(camera.t)
@@ -102,9 +108,16 @@ def load_checkpoint(path: str, *, capacity: int | None = None):
         alive=jnp.asarray(np.arange(cap) < n),
         sh_degree=int(meta.get("sh_degree", "3")),
     )
+    aux = {
+        k[len("aux."):]: jnp.asarray(v)
+        for k, v in tensors.items()
+        if k.startswith("aux.")
+    }
     opt = {
-        "mu": {k: pad(tensors[f"optimizers.{k}.mu"]) for k in PARAM_NAMES},
-        "nu": {k: pad(tensors[f"optimizers.{k}.nu"]) for k in PARAM_NAMES},
+        "mu": {k: pad(tensors[f"optimizers.{k}.mu"]) for k in PARAM_NAMES}
+        | {k: jnp.asarray(tensors[f"optimizers.aux.{k}.mu"]) for k in aux},
+        "nu": {k: pad(tensors[f"optimizers.{k}.nu"]) for k in PARAM_NAMES}
+        | {k: jnp.asarray(tensors[f"optimizers.aux.{k}.nu"]) for k in aux},
         "step": jnp.asarray(tensors["optimizers.step"][0], jnp.int32),
     }
     state = TrainState(
@@ -114,6 +127,7 @@ def load_checkpoint(path: str, *, capacity: int | None = None):
         max_radii=pad(tensors["stats.max_radii"]),
         grad_accum=pad(tensors["stats.grad_accum"]),
         stat_denom=pad(tensors["stats.denom"]),
+        aux=aux,
     )
 
     camera = None

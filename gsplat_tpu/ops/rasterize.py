@@ -127,6 +127,7 @@ def rasterize(
     R_w2c=None,
     t_w2c=None,  # optional pose override (camera pose optimization)
     means2d_probe=None,  # (N, 2) zeros; gradient w.r.t. it = ∇means_2d stats
+    with_covisibility: bool = False,  # per-Gaussian covisibility aux output
 ):
     """Render. Returns (image (H, W, C_mode), aux dict)."""
     mode = config.mode
@@ -218,6 +219,20 @@ def rasterize(
             [img[..., :3], img[..., 3:4], alpha[..., None], img[..., 4:7]], axis=-1
         )
 
+    if with_covisibility:
+        from .covisibility import covisibility as _covis
+
+        covis = _covis(
+            jax.lax.stop_gradient(table),
+            binned["padded_ids"],
+            binned["tile_start"],
+            binned["tile_count"],
+            n_contrib,
+            grid_wh=config.grid_wh,
+            n_gaussians=means.shape[0],
+            chunk=config.chunk,
+        )
+
     aux = {
         "valid": proj["valid"],
         "radii": proj["radius"],
@@ -231,5 +246,10 @@ def rasterize(
         ].astype(jnp.int32),
         "n_instances": binned["n_instances"],
         "overflow": binned["overflow"],
+        # Per-pixel uncertainty sum(alpha_i * T_i) == 1 - T_final exactly
+        # (telescoping; reference render.jl:109) — the alpha map.
+        "uncertainty": alpha,
     }
+    if with_covisibility:
+        aux["covisibility"] = covis
     return image, aux

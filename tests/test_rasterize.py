@@ -154,3 +154,23 @@ def test_means2d_probe_gradient(rng):
     g = np.asarray(jax.grad(loss)(probe))
     assert np.all(np.isfinite(g))
     assert np.any(g != 0.0)
+
+
+def test_covisibility_marks_front_not_occluded(rng):
+    """A fully occluded gaussian is not covisible; the occluder is
+    (reference render.jl:110-112: marked only while T > 0.5)."""
+    cam = make_camera()
+    cfg = RasterizerConfig(mode="rgb", **CFG)
+    # Front: huge opaque splat; back: another directly behind it.
+    means = jnp.array([[0.0, 0.0, 3.0], [0.0, 0.0, 8.0]], jnp.float32)
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (2, 1))
+    scales = jnp.array([[1.5, 1.5, 1.5], [0.3, 0.3, 0.3]], jnp.float32)
+    opac = jnp.array([0.99, 0.9], jnp.float32)
+    shs = jnp.asarray(np.asarray(rgb_to_sh_dc(np.array([[1, 0, 0], [0, 1, 0]], np.float32))))[:, None]
+    img, aux = rasterize(means, quats, scales, opac, shs, camera=cam, config=cfg,
+                         sh_degree=0, with_covisibility=True)
+    covis = np.asarray(aux["covisibility"])
+    assert bool(covis[0])
+    assert not bool(covis[1])
+    # Uncertainty output is exactly the alpha map.
+    np.testing.assert_allclose(np.asarray(aux["uncertainty"]), np.asarray(aux["alpha"]))

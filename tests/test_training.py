@@ -217,3 +217,28 @@ def test_training_with_depth_priors():
     assert np.isfinite(float(m["terms"]["depth"]))
     assert float(m["terms"]["depth"]) != 0.0
     ds.depths = []
+
+
+def test_checkpoint_aux_groups_roundtrip(dataset, tmp_path):
+    """Optional subsystem state (bilateral grids, sky colors) survives
+    checkpointing (reference optional groups, checkpoint.jl:15-70)."""
+    from gsplat_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    p = OptimizationParams(use_bilateral_grid=True, use_sky_dome=True,
+                           sky_dome_points=256, use_depth_loss=False,
+                           use_sky_loss=False)
+    model = GaussianModel.create(dataset.points, dataset.colors, dataset.scales,
+                                 max_sh_degree=0)
+    trainer = Trainer(model, dataset, opt_params=p, max_instances=8192)
+    trainer.train(2)
+    path = str(tmp_path / "aux.safetensors")
+    save_checkpoint(path, trainer.state)
+    s2, _, _ = load_checkpoint(path)
+    assert set(s2.aux) == {"bilateral_grids", "sky_dc"}
+    np.testing.assert_array_equal(
+        np.asarray(s2.aux["bilateral_grids"]),
+        np.asarray(trainer.state.aux["bilateral_grids"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2.opt["mu"]["sky_dc"]), np.asarray(trainer.state.opt["mu"]["sky_dc"])
+    )
