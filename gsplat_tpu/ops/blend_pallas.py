@@ -167,6 +167,7 @@ def _repack_from_kernel(instT):
 
 
 def _fwd_kernel(
+    tile_ids_ref,  # (T,) i32 scalar prefetch: GLOBAL tile index per grid step
     tile_start_ref,  # (T,) i32 scalar prefetch
     tile_count_ref,  # (T,) i32 scalar prefetch
     inst_ref,  # (F_PAD, I_pad) f32 in HBM/ANY (kernel-side transposed table)
@@ -184,7 +185,7 @@ def _fwd_kernel(
     nc = pl.cdiv(count, jnp.int32(CHUNK))
     max_off = i_pad - CHUNK
 
-    px, py = _pixel_coords(t, gx)
+    px, py = _pixel_coords(tile_ids_ref[t], gx)
     tri_incl = _tri(CHUNK, lambda r, c: r <= c)  # x @ tri = inclusive cumsum
     rank1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)  # (P,K) 1-based
 
@@ -255,14 +256,16 @@ def _fwd_kernel(
     out_ref[0, n_feat + 2 :, :] = jnp.zeros((OUT_ROWS - n_feat - 2, P), jnp.float32)
 
 
-def _blend_fwd_impl(inst, tile_start, tile_count, *, grid_wh, n_feat):
+def _blend_fwd_impl(inst, tile_start, tile_count, *, grid_wh, n_feat, tile_ids=None):
     gx, gy = grid_wh
-    n_tiles = gx * gy
+    n_tiles = tile_start.shape[0]
+    if tile_ids is None:
+        tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     i_pad = inst.shape[0]
     inst = _repack_to_kernel(inst)  # (F_PAD, I_pad), compact
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
@@ -279,7 +282,7 @@ def _blend_fwd_impl(inst, tile_start, tile_count, *, grid_wh, n_feat):
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(tile_start, tile_count, inst)
+    )(tile_ids, tile_start, tile_count, inst)
 
     color = packed[:, :n_feat, :].transpose(0, 2, 1)  # (T, P, C)
     T_final = packed[:, n_feat, :]  # (T, P)
@@ -293,6 +296,7 @@ def _blend_fwd_impl(inst, tile_start, tile_count, *, grid_wh, n_feat):
 
 
 def _bwd_kernel(
+    tile_ids_ref,
     tile_start_ref,
     tile_count_ref,
     inst_ref,  # (F_PAD, I_pad) ANY (kernel-side transposed table)
@@ -313,7 +317,7 @@ def _bwd_kernel(
     nc = pl.cdiv(count, jnp.int32(CHUNK))
     max_off = i_pad - CHUNK
 
-    px, py = _pixel_coords(t, gx)
+    px, py = _pixel_coords(tile_ids_ref[t], gx)
     sfx_incl = _tri(CHUNK, lambda r, c: r >= c)  # x @ . = inclusive suffix sum
     sfx_excl = _tri(CHUNK, lambda r, c: r > c)  # x @ . = exclusive suffix sum
     lane1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
@@ -435,14 +439,16 @@ def _bwd_kernel(
         out_dma(0, (nc - 1) % jnp.int32(2)).wait()
 
 
-def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat):
+def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat, tile_ids=None):
     gx, gy = grid_wh
-    n_tiles = gx * gy
+    n_tiles = tile_start.shape[0]
+    if tile_ids is None:
+        tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     i_pad = inst.shape[0]
     inst = _repack_to_kernel(inst)  # (F_PAD, I_pad), compact
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -464,7 +470,7 @@ def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat):
             dimension_semantics=("arbitrary",), has_side_effects=True
         ),
         interpret=_interpret(),
-    )(tile_start, tile_count, inst, gpack)
+    )(tile_ids, tile_start, tile_count, inst, gpack)
 
 
 # ---------------------------------------------------------------------------
@@ -472,20 +478,24 @@ def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _blend(inst, tile_start, tile_count, grid_wh, n_feat, chunk):
-    return _blend_fwd_impl(inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat)
-
-
-def _vjp_fwd(inst, tile_start, tile_count, grid_wh, n_feat, chunk):
-    color, T_final, n_contrib = _blend_fwd_impl(
-        inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _blend(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk):
+    return _blend_fwd_impl(
+        inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat, tile_ids=tile_ids
     )
-    return (color, T_final, n_contrib), (inst, tile_start, tile_count, T_final, n_contrib)
+
+
+def _vjp_fwd(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk):
+    color, T_final, n_contrib = _blend_fwd_impl(
+        inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat, tile_ids=tile_ids
+    )
+    return (color, T_final, n_contrib), (
+        inst, tile_start, tile_count, tile_ids, T_final, n_contrib
+    )
 
 
 def _vjp_bwd(grid_wh, n_feat, chunk, res, g):
-    inst, tile_start, tile_count, T_final, n_contrib = res
+    inst, tile_start, tile_count, tile_ids, T_final, n_contrib = res
     g_color, g_T, _g_contrib = g
     n_tiles = T_final.shape[0]
     pad = OUT_ROWS - n_feat - 3
@@ -500,23 +510,35 @@ def _vjp_bwd(grid_wh, n_feat, chunk, res, g):
         axis=1,
     )
     dinst = _repack_from_kernel(
-        _blend_bwd_impl(inst, tile_start, tile_count, gpack, grid_wh=grid_wh, n_feat=n_feat)
+        _blend_bwd_impl(
+            inst, tile_start, tile_count, gpack,
+            grid_wh=grid_wh, n_feat=n_feat, tile_ids=tile_ids,
+        )
     )
-    # Slots past the last tile's padded range are never written by any tile
-    # (their forward contribution is exactly zero): mask the garbage.
-    p_total = jnp.sum(-(-tile_count // CHUNK) * CHUNK)
-    slot = jnp.arange(inst.shape[0], dtype=jnp.int32)
-    dinst = jnp.where(slot[:, None] < p_total, dinst, 0.0)
-    return dinst, None, None
+    # Slots outside every processed tile's padded range are never written by
+    # the kernel (their forward contribution is exactly zero): mask the
+    # uninitialized garbage. Membership is a start/end difference array —
+    # correct both for the single-device prefix layout and for tile-sharded
+    # calls whose tiles sit at scattered global offsets.
+    i_pad = inst.shape[0]
+    pcount = -(-tile_count // CHUNK) * CHUNK
+    delta = (
+        jnp.zeros((i_pad + 1,), jnp.int32)
+        .at[jnp.clip(tile_start, 0, i_pad)].add(jnp.where(pcount > 0, 1, 0))
+        .at[jnp.clip(tile_start + pcount, 0, i_pad)].add(jnp.where(pcount > 0, -1, 0))
+    )
+    owned = jnp.cumsum(delta)[:i_pad] > 0
+    dinst = jnp.where(owned[:, None], dinst, 0.0)
+    return dinst, None, None, None
 
 
 _blend.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-_blend_jit = jax.jit(_blend, static_argnums=(3, 4, 5))
+_blend_jit = jax.jit(_blend, static_argnums=(4, 5, 6))
 
 
-def blend_pallas(inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK):
+def blend_pallas(inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK, tile_ids=None):
     """Composite all tiles; inst is (I_pad, F_PAD). Same contract as blend_scan:
     returns (color (T,P,C), T_final (T,P), n_contrib (T,P) int32).
 
@@ -527,4 +549,6 @@ def blend_pallas(inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK):
     rem = (-inst.shape[0]) % _REPACK_BLOCK
     if rem:  # repack kernels need a multiple of the (1024, F) block
         inst = jnp.pad(inst, ((0, rem), (0, 0)))
-    return _blend_jit(inst, tile_start, tile_count, grid_wh, n_feat, chunk)
+    if tile_ids is None:
+        tile_ids = jnp.arange(tile_start.shape[0], dtype=jnp.int32)
+    return _blend_jit(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk)
