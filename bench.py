@@ -27,7 +27,9 @@ N_GAUSSIANS = int(os.environ.get("BENCH_N", 100_000))
 WIDTH = int(os.environ.get("BENCH_W", 976))
 HEIGHT = int(os.environ.get("BENCH_H", 544))
 STEPS = int(os.environ.get("BENCH_STEPS", 100))
+MODE = os.environ.get("BENCH_MODE", "train")  # train | render
 BASELINE_STEPS_PER_S = 150.0
+BASELINE_RENDER_FPS = 150.0  # reference worker: ~3.6+2.1 ms/frame readback+render
 
 
 def main():
@@ -63,6 +65,35 @@ def main():
     )
     model = GaussianModel.create(pts, cols, scales, max_sh_degree=3)
     max_instances = int(os.environ.get("BENCH_MAX_INSTANCES", max(4 * n, 1 << 16)))
+
+    if MODE == "render":
+        import jax.numpy as jnp
+
+        from gsplat_tpu.ops.rasterize import RasterizerConfig, render
+
+        cfg = RasterizerConfig(
+            width=WIDTH, height=HEIGHT, mode="rgb",
+            max_instances=max_instances, impl="pallas",
+        )
+        fwd = jax.jit(
+            lambda args, cam: render(*args, camera=cam, config=cfg, sh_degree=3)[0]
+        )
+        args = model.render_args()
+        out = fwd(args, cams[0])
+        _ = np.asarray(out.ravel()[0])
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            out = fwd(args, cams[i % 8])
+        _ = np.asarray(out.ravel()[0])
+        fps = STEPS / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "render_fps",
+            "value": round(fps, 2),
+            "unit": f"frames/s ({N_GAUSSIANS}g {WIDTH}x{HEIGHT} pallas fwd)",
+            "vs_baseline": round(fps / BASELINE_RENDER_FPS, 4),
+        }))
+        return
+
     trainer = Trainer(model, dataset, max_instances=max_instances)
 
     # Warmup / compile (at the steady-state chunk size).

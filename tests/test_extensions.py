@@ -362,3 +362,48 @@ def test_pose_gradients_flow_through_rasterizer(rng):
     )
     assert np.all(np.isfinite(np.asarray(g_rot))) and np.any(np.asarray(g_rot) != 0)
     assert np.all(np.isfinite(np.asarray(g_t))) and np.any(np.asarray(g_t) != 0)
+
+
+def test_pose_optimization_recovers_perturbation(rng):
+    """End-to-end pose recovery (reference examples/pose_opt.jl): optimize
+    6D+translation deltas until a perturbed camera re-aligns."""
+    from gsplat_tpu.ops.rasterize import RasterizerConfig, rasterize
+    from gsplat_tpu.ops.sh import rgb_to_sh_dc
+    import jax
+
+    cam = Camera.create(width=48, height=48, focal=np.array([45.0, 45.0], np.float32))
+    cfg = RasterizerConfig(width=48, height=48, mode="rgb", max_instances=4096,
+                           chunk=8, impl="scan")
+    n = 40
+    means = jnp.asarray(np.stack([
+        rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(2.5, 6, n)], 1), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    scales = jnp.full((n, 3), 0.25, jnp.float32)
+    opac = jnp.full((n,), 0.8, jnp.float32)
+    shs = jnp.asarray(np.asarray(rgb_to_sh_dc(rng.uniform(0, 1, (n, 3)))), jnp.float32)[:, None]
+    gt_args = (means, quats, scales, opac, shs)
+
+    target, _ = rasterize(*gt_args, camera=cam, config=cfg, sh_degree=0)
+
+    # Perturb the pose; recover it through the rasterizer's pose gradients.
+    d6 = jnp.asarray(np.array([1, 0.03, -0.02, 0.02, 1, 0.03], np.float32))
+    R_bad = cam.R @ rotation_6d_to_matrix(d6)
+    t_bad = cam.t + jnp.asarray(np.array([0.05, -0.04, 0.03], np.float32))
+
+    def loss(drot, dt, R0, t0):
+        R, t = pose_delta(R0, t0, drot, dt)
+        img, _ = rasterize(*gt_args, camera=cam, config=cfg, sh_degree=0, R_w2c=R, t_w2c=t)
+        return jnp.mean((img - target) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    R0, t0 = R_bad, t_bad
+    l0 = float(loss(jnp.zeros(6), jnp.zeros(3), R0, t0))
+    lr = 1e-3
+    for _ in range(60):
+        (l, (g_r, g_t)) = grad_fn(jnp.zeros(6), jnp.zeros(3), R0, t0)
+        # single-step Adam from zero state = sign-like step (camera_opt.py)
+        dr = -lr * g_r / (jnp.abs(g_r) + 1e-15)
+        dt = -lr * g_t / (jnp.abs(g_t) + 1e-15)
+        R0, t0 = pose_delta(R0, t0, dr, dt)
+    l1 = float(loss(jnp.zeros(6), jnp.zeros(3), R0, t0))
+    assert l1 < l0 * 0.35, f"pose opt failed: {l0:.5f} -> {l1:.5f}"
