@@ -99,7 +99,7 @@ class DefaultStrategy:
     def regularization_loss_weights(self):
         return (0.0, 0.0)
 
-    def post_train_step(self, state, trainer, step: int):
+    def post_train_step(self, state, trainer, step: int, noise_in_step: bool = False):
         if step > self.densify_until_iter:
             return state
         # Stats already accumulated inside train_step (trainer.py).
@@ -301,7 +301,7 @@ class MCMCStrategy:
         """0.01*mean(sigmoid(op)) + 0.01*mean(exp(scales)) (mcmc.jl:104-107)."""
         return (self.opacity_reg, self.scale_reg)
 
-    def post_train_step(self, state, trainer, step: int):
+    def post_train_step(self, state, trainer, step: int, noise_in_step: bool = False):
         extent = trainer.camera_extent
         if (
             self.start_refine < step < self.stop_refine
@@ -309,6 +309,10 @@ class MCMCStrategy:
         ):
             state = self.relocate(state, extent)
             state = self.add(state)
+        if noise_in_step:
+            # The jitted train step already injected this step's noise
+            # (trainer.py scan-chunked path).
+            return state
         # Noise every step, scaled by the current (decayed) points LR x extent.
         p = trainer.opt_params
         lr = float(

@@ -93,6 +93,7 @@ def _step_core(
     reg_weights: tuple = (0.0, 0.0),  # (opacity_reg, scale_reg) — strategy hook
     features: tuple = (),  # subset of {"bilateral","depth","sky_dome","sky_loss","normal"}
     sky=None,  # SkyDome (static by identity; frozen geometry enters as consts)
+    mcmc_noise: tuple | None = None,  # (noise_lr, max_scale, seed): per-step noise in-jit
 ):
     """One optimization step. Returns (new_state, metrics dict)."""
     p = opt_params
@@ -243,6 +244,25 @@ def _step_core(
         stat_denom=jnp.where(visible, state.stat_denom + 1.0, state.stat_denom),
         aux=new_aux,
     )
+    if mcmc_noise is not None:
+        # MCMC position noise EVERY step (mcmc.jl:109-124), inside the jitted
+        # step so MCMC training rides the scan-chunked dispatch path. The key
+        # derives deterministically from the step counter.
+        from .strategy import _inject_noise
+        from .optim import lr_exp_scheduler as _sched
+
+        noise_lr, max_scale, seed = mcmc_noise
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), new_state.step)
+        lr = _sched(
+            new_state.step, p.lr_points_start, p.lr_points_end, p.lr_points_steps
+        ) * camera_extent
+        m2 = new_state.model
+        pts = _inject_noise(
+            m2.points, m2.opacities, m2.scales, m2.rotations, m2.alive, key, lr,
+            noise_lr=noise_lr, max_kick=0.5 * max_scale * camera_extent,
+        )
+        new_state = new_state.replace(model=m2.replace(points=pts))
+
     # All step metrics ride ONE device->host transfer (the reference's
     # single per-step loss D2H, training.jl:756); individual entries remain
     # for tests/tools that want device values.
@@ -270,13 +290,19 @@ def _step_core(
 
 train_step = partial(
     jax.jit,
-    static_argnames=("config", "opt_params", "camera_extent", "reg_weights", "features", "sky"),
+    static_argnames=(
+        "config", "opt_params", "camera_extent", "reg_weights", "features", "sky",
+        "mcmc_noise",
+    ),
 )(_step_core)
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "opt_params", "camera_extent", "reg_weights", "features", "sky"),
+    static_argnames=(
+        "config", "opt_params", "camera_extent", "reg_weights", "features", "sky",
+        "mcmc_noise",
+    ),
 )
 def train_chunk(
     state: TrainState,
@@ -618,12 +644,13 @@ class Trainer:
 
     def _can_chunk(self) -> bool:
         """lax.scan chunking applies when no per-step host intervention is
-        required: strategy is None or ADC (its per-step stats are already
-        inside the step; refine/reset run at chunk boundaries). MCMC injects
-        noise every step host-side, so it stays on the per-step path."""
-        from .strategy import DefaultStrategy
+        required: per-step work (ADC stats, MCMC noise) runs inside the
+        jitted step; refine/reset run at chunk boundaries."""
+        from .strategy import DefaultStrategy, MCMCStrategy
 
-        if self.strategy is not None and not isinstance(self.strategy, DefaultStrategy):
+        if self.strategy is not None and not isinstance(
+            self.strategy, (DefaultStrategy, MCMCStrategy)
+        ):
             return False
         res = {(c.width, c.height) for c in self.dataset.cameras}
         return len(res) == 1
@@ -632,12 +659,18 @@ class Trainer:
         """Next step index where the host must intervene."""
         from .strategy import DefaultStrategy
 
+        from .strategy import MCMCStrategy
+
         bounds = []
         if isinstance(self.strategy, DefaultStrategy):
             st = self.strategy
             if step <= st.densify_until_iter:
                 bounds.append(st.densification_interval)
             bounds.append(st.opacity_reset_interval)
+        elif isinstance(self.strategy, MCMCStrategy):
+            st = self.strategy
+            if step < st.stop_refine:
+                bounds.append(st.refine_every)
         nxt = step + self.chunk_steps
         for b in bounds:
             nxt = min(nxt, (step // b + 1) * b)
@@ -680,6 +713,12 @@ class Trainer:
             if self.strategy is not None
             else (0.0, 0.0)
         )
+        from .strategy import MCMCStrategy
+
+        mcmc_noise = None
+        if isinstance(self.strategy, MCMCStrategy):
+            st = self.strategy
+            mcmc_noise = (st.noise_lr, st.max_scale, st.seed)
         cfg = self.config_for(cams[0])
         self.state, packs = train_chunk(
             self.state,
@@ -695,6 +734,7 @@ class Trainer:
             reg_weights=reg,
             features=self.features,
             sky=self.sky,
+            mcmc_noise=mcmc_noise,
         )
         self._pending = (self.step, packs)
 
@@ -756,7 +796,12 @@ class Trainer:
             self._train_chunk(nxt - step)
             m = self._drain_chunk_metrics()
             if self.strategy is not None:
-                self.state = self.strategy.post_train_step(self.state, self, self.step)
+                from .strategy import MCMCStrategy
+
+                self.state = self.strategy.post_train_step(
+                    self.state, self, self.step,
+                    noise_in_step=isinstance(self.strategy, MCMCStrategy),
+                )
             if bool(m["overflow"]):
                 self.max_instances *= 2
                 self._configs.clear()
