@@ -44,6 +44,11 @@ def _cli():
     v = sub.add_parser("view", help="interactive web viewer")
     v.add_argument("model", help=".safetensors checkpoint or .ply")
     v.add_argument("--port", type=int, default=8000)
+    v.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address (default loopback; 0.0.0.0 exposes the unauthenticated "
+        "endpoint on all interfaces)",
+    )
     v.add_argument("--width", type=int, default=1024)
     v.add_argument("--height", type=int, default=576)
 
@@ -110,7 +115,9 @@ def _cli():
         from .viewer import Viewer
 
         model = _load_model(args.model)
-        Viewer(model, width=args.width, height=args.height).serve(port=args.port)
+        Viewer(model, width=args.width, height=args.height).serve(
+            port=args.port, host=args.host
+        )
     elif args.cmd == "capture":
         from .camera import Camera
         from .utils.camera_path import CameraPath, capture_path

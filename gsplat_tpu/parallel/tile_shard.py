@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..constants import CHUNK
 from ..ops import tiles
@@ -55,7 +55,7 @@ def blend_tile_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )(inst, tile_start, tile_count, ids)
     return color[:n_tiles], T_final[:n_tiles], n_contrib[:n_tiles]
 

@@ -401,7 +401,14 @@ class Trainer:
         self.metrics_every = max(1, metrics_every)
         self.chunk_steps = 20 if jax.default_backend() == "tpu" else 4
         self._last_metrics = None
-        self._pending = None  # (step, packed device array)
+        # Overflow-rollback machinery: dispatched-but-unverified steps are kept
+        # as (step, inputs, packed device array) together with the pre-dispatch
+        # state snapshot, so a truncated render (instance-budget overflow) can
+        # be discarded and re-run after regrowth instead of silently biasing
+        # the parameters (the reference never truncates — it host-syncs the
+        # exact n_rendered and grows first, rasterizer.jl:333-343).
+        self._replay: list = []
+        self._replay_state = None
         self._image_cache: dict = {} if cache_images_on_device else None
         self.autosave_every = autosave_every
         self.autosave_path = autosave_path
@@ -552,91 +559,131 @@ class Trainer:
     def step(self) -> int:
         return int(self.state.step)
 
-    def train_step(self):
-        """One step: SH ramp, view pick, jitted update, strategy hook."""
-        step = self.step
+    def _step_inputs(self):
+        """Pick the next view and assemble one step's dispatch inputs
+        (host-side; advances the epoch shuffle and SH ramp)."""
+        step = len(self._replay) + (
+            int(self._replay[0][0]) if self._replay else self.step
+        )
         if step > 0 and step % self.sh_ramp_every == 0:
             self.sh_degree = min(self.sh_degree + 1, self.state.model.max_sh_degree)
-
         camera, image, ti, vid = self._next_view()
         if self._image_cache is not None:
             if vid not in self._image_cache:
                 self._image_cache[vid] = jnp.asarray(image)
             image = self._image_cache[vid]
-        cfg = self.config_for(camera)
         if self.opt_params.random_background:
             background = jnp.asarray(self.rng.random(3), jnp.float32)
         else:
             background = jnp.zeros(3, jnp.float32)
-
         reg = (
             self.strategy.regularization_loss_weights()
             if self.strategy is not None
             else (0.0, 0.0)
         )
+        return {
+            "step": step,
+            "camera": camera,
+            "image": image if isinstance(image, jnp.ndarray) else jnp.asarray(image),
+            "ti": ti,
+            "vid": vid,
+            "background": background,
+            "sh_degree": self.sh_degree,
+            "reg": reg,
+            "extras": self._extras_for(camera, vid),
+        }
+
+    def _dispatch_step(self, inp):
+        """Dispatch one jitted step from an inputs dict; returns packed
+        metrics (device array). Also runs the strategy hook."""
         self.state, metrics = train_step(
             self.state,
-            camera,
-            jnp.asarray(image),
-            background,
-            self.sh_degree,
-            jnp.int32(ti),
-            self._extras_for(camera, vid),
-            config=cfg,
+            inp["camera"],
+            inp["image"],
+            inp["background"],
+            inp["sh_degree"],
+            jnp.int32(inp["ti"]),
+            inp["extras"],
+            config=self.config_for(inp["camera"]),
             opt_params=self.opt_params,
             camera_extent=self.camera_extent,
-            reg_weights=reg,
+            reg_weights=inp["reg"],
             features=self.features,
             sky=self.sky,
         )
         if self.strategy is not None:
-            self.state = self.strategy.post_train_step(self.state, self, step + 1)
-        self._pending = (self.step, metrics["packed"])
-        if self.step % self.metrics_every == 0 or self._last_metrics is None:
-            self._drain_metrics()
-        metrics = self._last_metrics
-        if bool(metrics["overflow"]):
-            # The instance budget truncated this step's render: grow the
-            # buffer (replaces the reference's grow-only binning buffers,
-            # rasterizer.jl:340-343). One recompile per doubling.
-            self.max_instances *= 2
-            self._configs.clear()
-            print(
-                f"[trainer] instance budget overflow at step {self.step}; "
-                f"growing max_instances to {self.max_instances}",
-                flush=True,
+            self.state = self.strategy.post_train_step(
+                self.state, self, inp["step"] + 1
             )
-        return metrics
+        return metrics["packed"]
+
+    def train_step(self):
+        """One step: SH ramp, view pick, jitted update, strategy hook."""
+        if self._replay_state is None:
+            self._replay_state = self.state
+        inp = self._step_inputs()
+        packed = self._dispatch_step(inp)
+        self._replay.append((inp["step"], inp, packed))
+        if (inp["step"] + 1) % self.metrics_every == 0 or self._last_metrics is None:
+            self._drain_metrics()
+        return self._last_metrics
+
+    def _unpack_row(self, row):
+        return {
+            "loss": float(row[0]),
+            "l1": float(row[1]),
+            "ssim": float(row[2]),
+            "n_instances": int(row[3]),
+            "overflow": row[4] > 0.5,
+            "terms": dict(zip(LOSS_TERMS, (float(x) for x in row[5:]))),
+        }
+
+    def _grow_budget(self, near_step: int):
+        """Double the instance budget (one recompile per doubling); replaces
+        the reference's grow-only binning buffers (rasterizer.jl:340-343)."""
+        self.max_instances *= 2
+        self._configs.clear()
+        print(
+            f"[trainer] instance budget overflow near step {near_step}; "
+            f"growing max_instances to {self.max_instances}",
+            flush=True,
+        )
 
     def _drain_metrics(self):
-        """Fetch the most recent packed metrics (ONE host sync) and record
-        the loss breakdown."""
-        if self._pending is None:
+        """Fetch every pending step's packed metrics (ONE host sync per
+        batch). If any pending render overflowed the instance budget, the
+        affected steps' updates are DISCARDED: roll back to the pre-dispatch
+        state, grow the budget, and replay the same step inputs untruncated."""
+        if not self._replay:
             return self._last_metrics
-        at_step, packed = self._pending
-        self._pending = None
-        packed = np.asarray(packed)
-        m = {
-            "loss": float(packed[0]),
-            "l1": float(packed[1]),
-            "ssim": float(packed[2]),
-            "n_instances": int(packed[3]),
-            "overflow": packed[4] > 0.5,
-            "terms": dict(zip(LOSS_TERMS, (float(x) for x in packed[5:]))),
-        }
-        terms = dict(m["terms"])
-        terms["total"] = m["loss"]
-        self.losses.record(at_step, terms)
-        if not np.isfinite(m["loss"]):
-            msg = (
-                f"Loss is not finite ({m['loss']}) near step {at_step} — "
-                "aborting before the parameters are corrupted further."
-            )
-            from ..utils.debug import debug_enabled
+        while True:
+            rows = [np.asarray(p) for (_, _, p) in self._replay]
+            if not any(r[4] > 0.5 for r in rows):
+                break
+            self._grow_budget(self._replay[0][0])
+            self.state = self._replay_state
+            old = self._replay
+            self._replay = []
+            for (s, inp, _) in old:
+                self._replay.append((s, inp, self._dispatch_step(inp)))
+        m = None
+        for (s, _, _), row in zip(self._replay, rows):
+            m = self._unpack_row(row)
+            terms = dict(m["terms"])
+            terms["total"] = m["loss"]
+            self.losses.record(s + 1, terms)
+            if not np.isfinite(m["loss"]):
+                msg = (
+                    f"Loss is not finite ({m['loss']}) at step {s + 1} — "
+                    "aborting before the parameters are corrupted further."
+                )
+                from ..utils.debug import debug_enabled
 
-            if debug_enabled():
-                msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
-            raise FloatingPointError(msg)
+                if debug_enabled():
+                    msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
+                raise FloatingPointError(msg)
+        self._replay = []
+        self._replay_state = None
         self._last_metrics = m
         return m
 
@@ -676,8 +723,9 @@ class Trainer:
             nxt = min(nxt, (step // b + 1) * b)
         return nxt
 
-    def _train_chunk(self, k: int):
-        """Run k steps in one dispatch."""
+    def _build_chunk_inputs(self, k: int):
+        """Assemble k steps' worth of batched dispatch inputs (host-side;
+        advances the epoch shuffle and SH ramp)."""
         cams, targets, tis, extras = [], [], [], []
         sh_degrees = []
         step = self.step
@@ -697,8 +745,6 @@ class Trainer:
 
         from ..parallel.data_parallel import batch_cameras
 
-        cam_b = batch_cameras(cams)
-        targets_b = jnp.stack(targets)
         if self.opt_params.random_background:
             bgs = jnp.asarray(self.rng.random((k, 3)), jnp.float32)
         else:
@@ -719,58 +765,59 @@ class Trainer:
         if isinstance(self.strategy, MCMCStrategy):
             st = self.strategy
             mcmc_noise = (st.noise_lr, st.max_scale, st.seed)
-        cfg = self.config_for(cams[0])
+        return {
+            "step": step,
+            "camera0": cams[0],
+            "cam_b": batch_cameras(cams),
+            "targets_b": jnp.stack(targets),
+            "bgs": bgs,
+            "sh_degrees": jnp.asarray(sh_degrees, jnp.int32),
+            "tis": jnp.asarray(tis, jnp.int32),
+            "ex_b": ex_b,
+            "reg": reg,
+            "mcmc_noise": mcmc_noise,
+        }
+
+    def _dispatch_chunk(self, inp):
+        """Dispatch one scan-chunk from a chunk-inputs dict; returns the
+        packed per-step metrics (device array, (K, 13))."""
         self.state, packs = train_chunk(
             self.state,
-            cam_b,
-            targets_b,
-            bgs,
-            jnp.asarray(sh_degrees, jnp.int32),
-            jnp.asarray(tis, jnp.int32),
-            ex_b,
-            config=cfg,
+            inp["cam_b"],
+            inp["targets_b"],
+            inp["bgs"],
+            inp["sh_degrees"],
+            inp["tis"],
+            inp["ex_b"],
+            config=self.config_for(inp["camera0"]),
             opt_params=self.opt_params,
             camera_extent=self.camera_extent,
-            reg_weights=reg,
+            reg_weights=inp["reg"],
             features=self.features,
             sky=self.sky,
-            mcmc_noise=mcmc_noise,
+            mcmc_noise=inp["mcmc_noise"],
         )
-        self._pending = (self.step, packs)
+        return packs
 
-    def _drain_chunk_metrics(self):
-        if self._pending is None:
-            return self._last_metrics
-        at_step, packed = self._pending
-        self._pending = None
-        packed = np.asarray(packed)
-        if packed.ndim == 1:
-            packed = packed[None]
-        overflow = False
+    def _record_chunk(self, at_step: int, packed):
+        """Record an untruncated chunk's per-step metrics; abort on the
+        FIRST non-finite loss (every row is checked, not only the last)."""
+        m = None
         for j, row in enumerate(packed):
-            m = {
-                "loss": float(row[0]),
-                "l1": float(row[1]),
-                "ssim": float(row[2]),
-                "n_instances": int(row[3]),
-                "overflow": row[4] > 0.5,
-                "terms": dict(zip(LOSS_TERMS, (float(x) for x in row[5:]))),
-            }
-            overflow |= m["overflow"]
+            m = self._unpack_row(row)
             terms = dict(m["terms"])
             terms["total"] = m["loss"]
             self.losses.record(at_step + j + 1, terms)
-        if not np.isfinite(m["loss"]):
-            msg = (
-                f"Loss is not finite ({m['loss']}) near step {at_step + j + 1} — "
-                "aborting before the parameters are corrupted further."
-            )
-            from ..utils.debug import debug_enabled
+            if not np.isfinite(m["loss"]):
+                msg = (
+                    f"Loss is not finite ({m['loss']}) at step {at_step + j + 1} — "
+                    "aborting before the parameters are corrupted further."
+                )
+                from ..utils.debug import debug_enabled
 
-            if debug_enabled():
-                msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
-            raise FloatingPointError(msg)
-        m["overflow"] = overflow
+                if debug_enabled():
+                    msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
+                raise FloatingPointError(msg)
         self._last_metrics = m
         return m
 
@@ -793,24 +840,30 @@ class Trainer:
             nxt = min(self._next_boundary(step), end)
             if log_every:
                 nxt = min(nxt, (step // log_every + 1) * log_every)
-            self._train_chunk(nxt - step)
-            m = self._drain_chunk_metrics()
+            snapshot = self.state  # pre-chunk state (pytrees are immutable)
+            inputs = self._build_chunk_inputs(nxt - step)
+            packs = self._dispatch_chunk(inputs)
+            while True:
+                packed = np.asarray(packs)
+                if packed.ndim == 1:
+                    packed = packed[None]
+                if not (packed[:, 4] > 0.5).any():
+                    break
+                # A truncated render anywhere in the chunk biased its Adam
+                # updates: discard the whole chunk, grow, and re-run the same
+                # views from the pre-chunk state.
+                self._grow_budget(step)
+                self.state = snapshot
+                packs = self._dispatch_chunk(inputs)
+            m = self._record_chunk(step, packed)
             if self.strategy is not None:
                 from .strategy import MCMCStrategy
 
                 self.state = self.strategy.post_train_step(
-                    self.state, self, self.step,
+                    self.state, self, nxt,
                     noise_in_step=isinstance(self.strategy, MCMCStrategy),
                 )
-            if bool(m["overflow"]):
-                self.max_instances *= 2
-                self._configs.clear()
-                print(
-                    f"[trainer] instance budget overflow near step {self.step}; "
-                    f"growing max_instances to {self.max_instances}",
-                    flush=True,
-                )
-            if log_every and self.step % log_every == 0:
+            if log_every and nxt % log_every == 0:
                 self._log_line(m)
             self._maybe_autosave()
         return self.state

@@ -141,7 +141,7 @@ class Viewer:
             "last_render_ms": round(self.last_render_ms, 1),
         }
 
-    def serve(self, port: int = 8000, host: str = "0.0.0.0"):
+    def serve(self, port: int = 8000, host: str = "127.0.0.1"):
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):

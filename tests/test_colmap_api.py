@@ -41,11 +41,26 @@ def write_colmap_scene(root, dataset):
         f.write(_struct.pack("<4d", fx, fy, cx, cy))
 
     def rot_to_qvec(R):
-        w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
-        x = (R[2, 1] - R[1, 2]) / (4 * w)
-        y = (R[0, 2] - R[2, 0]) / (4 * w)
-        z = (R[1, 0] - R[0, 1]) / (4 * w)
-        return np.array([w, x, y, z])
+        # Shepperd's method: branch on the largest of (trace, R00, R11, R22)
+        # so 180-degree rotations (w == 0) stay finite.
+        tr = R[0, 0] + R[1, 1] + R[2, 2]
+        if tr > max(R[0, 0], R[1, 1], R[2, 2]):
+            s = 2.0 * np.sqrt(1.0 + tr)
+            q = [s / 4, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                 (R[1, 0] - R[0, 1]) / s]
+        elif R[0, 0] >= max(R[1, 1], R[2, 2]):
+            s = 2.0 * np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2])
+            q = [(R[2, 1] - R[1, 2]) / s, s / 4, (R[0, 1] + R[1, 0]) / s,
+                 (R[0, 2] + R[2, 0]) / s]
+        elif R[1, 1] >= R[2, 2]:
+            s = 2.0 * np.sqrt(1.0 - R[0, 0] + R[1, 1] - R[2, 2])
+            q = [(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s, s / 4,
+                 (R[1, 2] + R[2, 1]) / s]
+        else:
+            s = 2.0 * np.sqrt(1.0 - R[0, 0] - R[1, 1] + R[2, 2])
+            q = [(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+                 (R[1, 2] + R[2, 1]) / s, s / 4]
+        return np.array(q)
 
     with open(os.path.join(sparse, "images.bin"), "wb") as f:
         f.write(_struct.pack("<Q", len(dataset.cameras)))
