@@ -138,7 +138,9 @@ class ColmapDataset:
     scales: np.ndarray  # (N,) initial per-gaussian scale
     camera_extent: float
     depths: list = field(default_factory=list)  # optional per-view depth priors
+    depth_qsteps: list = field(default_factory=list)  # per-prior quantization step
     sky_masks: list = field(default_factory=list)  # optional soft sky masks
+    root: str | None = None  # dataset directory (sidecar caches live here)
 
     @property
     def n_train(self):
@@ -188,7 +190,7 @@ def load_colmap(
     entries = sorted(images_bin.values(), key=lambda e: e["name"])
     cameras, images, names = [], [], []
     centers = []
-    depths, sky_masks = [], []
+    depths, depth_qsteps, sky_masks = [], [], []
     for e in entries:
         img_path = os.path.join(img_dir, e["name"])
         if not os.path.exists(img_path):
@@ -225,10 +227,16 @@ def load_colmap(
         stem = os.path.splitext(e["name"])[0]
         if load_depths:
             dp = os.path.join(path, "depths", stem + ".png")
-            depths.append(_load_gray(dp, (w, h)) if os.path.exists(dp) else None)
+            if os.path.exists(dp):
+                d, q = _load_gray(dp, (w, h))
+                depths.append(d)
+                depth_qsteps.append(q)
+            else:
+                depths.append(None)
+                depth_qsteps.append(0.0)
         if load_sky_masks:
             sp = os.path.join(path, "sky", stem + ".png")
-            sky_masks.append(_load_gray(sp, (w, h)) if os.path.exists(sp) else None)
+            sky_masks.append(_load_gray(sp, (w, h))[0] if os.path.exists(sp) else None)
 
     if not cameras:
         raise FileNotFoundError(f"no images found under {img_dir}")
@@ -259,18 +267,32 @@ def load_colmap(
         scales=initial_scales(pts),
         camera_extent=extent,
         depths=depths,
+        depth_qsteps=depth_qsteps,
         sky_masks=sky_masks,
+        root=path,
     )
 
 
 def _load_gray(path, size_wh):
+    """Grayscale map normalized to [0, 1] plus the source encoding's
+    quantization step (1/255 for 8-bit, 1/65535 for 16-bit, 0 for float
+    formats) — the step sizes the depth-loss deadband so the model is not
+    pulled onto the prior's quantization staircase
+    (reference load_depth_prior, depth_supervision.jl:28-36)."""
     from PIL import Image
 
     with Image.open(path) as im:
+        mode = im.mode
+        if mode in ("I;16", "I;16B", "I;16L", "I"):
+            denom, qstep = 65535.0, 1.0 / 65535.0
+        elif mode == "F":
+            denom, qstep = 1.0, 0.0
+        else:  # 8-bit (L/P/RGB/...)
+            denom, qstep = 255.0, 1.0 / 255.0
         im = im.convert("F")
         if im.size != size_wh:
             im = im.resize(size_wh, Image.BILINEAR)
-        return np.asarray(im, np.float32)
+        return np.asarray(im, np.float32) / denom, qstep
 
 
 # ---------------------------------------------------------------------------

@@ -422,14 +422,43 @@ class Trainer:
         if p.use_depth_loss and getattr(dataset, "depths", None) and any(
             d is not None for d in dataset.depths
         ):
-            from ..models.depth_supervision import fit_depth_anchors
+            from ..models.depth_supervision import (
+                anchors_fingerprint,
+                fit_depth_anchors,
+                load_anchor_cache,
+                save_anchor_cache,
+            )
 
             priors = [dataset.depths[i] for i in range(len(dataset.cameras))]
-            self.anchors = fit_depth_anchors(
-                dataset.points, dataset.cameras, priors, mode=p.depth_loss_mode
+            # Fingerprinted sidecar cache next to the dataset: a second
+            # startup on the same data skips the RANSAC anchor fits
+            # (reference depth_supervision.jl:360-404, training.jl:307-329).
+            root = getattr(dataset, "root", None)
+            cache_path = None
+            if root:
+                import os as _os
+
+                cache_path = _os.path.join(
+                    root, f"depth_anchors_{p.depth_loss_mode}.json"
+                )
+            fp = anchors_fingerprint(
+                dataset.points, list(dataset.names), p.depth_loss_mode
             )
-            self.depth_qsteps = getattr(
-                dataset, "depth_qsteps", [1.0 / 255.0] * len(dataset.cameras)
+            self.anchors = (
+                load_anchor_cache(cache_path, fp) if cache_path else None
+            )
+            if self.anchors is None:
+                self.anchors = fit_depth_anchors(
+                    dataset.points, dataset.cameras, priors, mode=p.depth_loss_mode
+                )
+                if cache_path:
+                    try:
+                        save_anchor_cache(cache_path, self.anchors, fp)
+                    except OSError as e:
+                        print(f"[trainer] anchor cache write failed: {e}", flush=True)
+            qs = getattr(dataset, "depth_qsteps", None)
+            self.depth_qsteps = (
+                list(qs) if qs else [1.0 / 255.0] * len(dataset.cameras)
             )
 
         self.sky = None

@@ -255,3 +255,73 @@ def test_viewer_render_frame():
     jpeg = v.render_frame([4.0, 1.0, 0.0], [0.0, 0.0, 0.0])
     assert jpeg[:2] == b"\xff\xd8"  # JPEG magic
     assert v.info()["n_gaussians"] == 50
+
+
+def test_depth_prior_qstep_and_anchor_cache(tmp_path, monkeypatch):
+    """Per-prior quantization step detection (8-bit vs 16-bit PNGs,
+    reference depth_supervision.jl:28-36) and the fingerprinted anchor
+    sidecar cache (a second startup skips the RANSAC fits,
+    depth_supervision.jl:360-404)."""
+    from PIL import Image
+
+    from gsplat_tpu.data.colmap import load_colmap
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.optim import OptimizationParams
+    from gsplat_tpu.train.trainer import Trainer
+
+    # Needs >= 256 projected SfM samples per view (the RANSAC gate).
+    root = str(tmp_path / "scene")
+    ds = make_synthetic_dataset(n_points=600, n_views=9, width=48, height=48)
+    write_colmap_scene(root, ds)
+    ddir = os.path.join(root, "depths")
+    os.makedirs(ddir, exist_ok=True)
+    # Inverse-depth priors written at the SfM points' projected pixels (the
+    # anchor fit samples prior values there against the points' camera
+    # depths), alternating 8-bit / 16-bit encodings.
+    for i, name in enumerate(ds.names):
+        stem = os.path.splitext(name)[0]
+        cam = ds.cameras[i]
+        pc = (np.asarray(cam.R) @ ds.points.T + np.asarray(cam.t)[:, None]).T
+        H, W = 48, 48
+        f = np.asarray(cam.focal)
+        pp = np.asarray(cam.principal) * np.array([W, H])
+        z = np.maximum(pc[:, 2], 0.1)
+        px = (pc[:, 0] / z * f[0] + pp[0]).astype(int)
+        py = (pc[:, 1] / z * f[1] + pp[1]).astype(int)
+        inb = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (pc[:, 2] > 0.1)
+        disp = np.clip(1.5 / z, 0, 1)
+        prior = np.full((H, W), float(np.median(disp[inb])), np.float32)
+        prior[py[inb], px[inb]] = disp[inb]
+        if i % 2 == 0:
+            Image.fromarray((prior * 255).astype(np.uint8)).save(
+                os.path.join(ddir, stem + ".png")
+            )
+        else:
+            arr16 = (prior * 65535).astype(np.uint16)
+            Image.fromarray(arr16, mode="I;16").save(os.path.join(ddir, stem + ".png"))
+
+    loaded = load_colmap(root, holdout=4, load_depths=True)
+    assert loaded.root == root
+    assert np.isclose(loaded.depth_qsteps[0], 1 / 255)
+    assert np.isclose(loaded.depth_qsteps[1], 1 / 65535)
+    assert 0.0 <= float(np.max(loaded.depths[0])) <= 1.0
+
+    p = OptimizationParams(use_depth_loss=True)
+    model = GaussianModel.create(loaded.points, loaded.colors, loaded.scales,
+                                 max_sh_degree=0)
+    t1 = Trainer(model, loaded, opt_params=p, max_instances=8192)
+    cache = os.path.join(root, f"depth_anchors_{p.depth_loss_mode}.json")
+    assert os.path.exists(cache)
+    assert t1.depth_qsteps[0] == loaded.depth_qsteps[0]
+
+    # Second startup: the cache satisfies the anchors; RANSAC must not run.
+    import gsplat_tpu.models.depth_supervision as dsup
+
+    def boom(*a, **k):
+        raise AssertionError("fit_depth_anchors called despite a valid cache")
+
+    monkeypatch.setattr(dsup, "fit_depth_anchors", boom)
+    t2 = Trainer(model, loaded, opt_params=p, max_instances=8192)
+    assert len(t2.anchors) == len(loaded.cameras)
+    have = [a for a in t2.anchors if a is not None]
+    assert have, "expected at least one usable cached anchor"

@@ -117,3 +117,47 @@ def test_empty_scene():
     assert int(res["n_instances"]) == 0
     assert np.all(np.asarray(res["padded_ids"]) == -1)
     assert np.all(np.asarray(res["tile_count"]) == 0)
+
+
+def test_sort_depth_truncation_at_1080p_scale(rng):
+    """Ordering fidelity of the u32 single-key sort at a 1080p tile grid
+    (8,160 tiles -> 13 tile bits, 19 depth bits = 8 exponent + 11 mantissa).
+    Claim under test (tiles.py:135-144): inversions vs a full-precision
+    (tile, depth) sort occur ONLY between near-identical depths — relative
+    depth inversions are bounded by one truncated-mantissa ulp (2^-10)."""
+    grid = (120, 68)  # 1920x1088
+    gx, gy = grid
+    n = 50_000
+    mean_2d = np.stack(
+        [rng.uniform(0, 1920, n), rng.uniform(0, 1088, n)], axis=1
+    ).astype(np.float32)
+    # Adversarial depth distribution: clusters of near-identical depths at
+    # many magnitudes plus uniform filler.
+    base = rng.uniform(0.3, 900.0, n // 10)
+    depth = np.concatenate(
+        [np.repeat(base, 5) * (1.0 + rng.uniform(-2e-4, 2e-4, n // 2)),
+         rng.uniform(0.3, 900.0, n - n // 2)]
+    ).astype(np.float32)
+    radius = rng.integers(1, 24, size=n).astype(np.int32)
+
+    res = tiles.build_instances(
+        jnp.asarray(mean_2d), jnp.asarray(depth), jnp.asarray(radius),
+        grid_wh=grid, max_instances=1 << 19, chunk=128,
+    )
+    assert not bool(res["overflow"])
+
+    ids = np.asarray(res["padded_ids"])
+    start = np.asarray(res["tile_start"])
+    count = np.asarray(res["tile_count"])
+    worst = 0.0
+    checked = 0
+    for t in np.nonzero(count > 1)[0][::7]:  # sample tiles
+        gid = ids[start[t] : start[t] + count[t]]
+        assert np.all(gid >= 0)
+        d = depth[gid]
+        # Relative inversion size between adjacent sorted entries.
+        inv = np.maximum(0.0, (d[:-1] - d[1:]) / np.maximum(d[1:], 1e-9))
+        worst = max(worst, float(inv.max(initial=0.0)))
+        checked += len(d)
+    assert checked > 10_000
+    assert worst <= 2.0 ** -10, f"depth inversion {worst} exceeds one ulp bound"
