@@ -50,6 +50,8 @@ def save_checkpoint(path: str, state, camera=None, metadata: dict | None = None)
         tensors[f"aux.{k}"] = _np(v)
         tensors[f"optimizers.aux.{k}.mu"] = _np(state.opt["mu"][k])
         tensors[f"optimizers.aux.{k}.nu"] = _np(state.opt["nu"][k])
+    for k, v in (getattr(state, "poses", None) or {}).items():
+        tensors[f"poses.{k}"] = _np(v)
     if camera is not None:
         tensors["camera.R"] = _np(camera.R)
         tensors["camera.t"] = _np(camera.t)
@@ -128,6 +130,11 @@ def load_checkpoint(path: str, *, capacity: int | None = None):
         grad_accum=pad(tensors["stats.grad_accum"]),
         stat_denom=pad(tensors["stats.denom"]),
         aux=aux,
+        poses={
+            k[len("poses."):]: jnp.asarray(v)
+            for k, v in tensors.items()
+            if k.startswith("poses.")
+        },
     )
 
     camera = None

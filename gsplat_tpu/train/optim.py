@@ -142,6 +142,13 @@ class OptimizationParams:
     bilateral_grid_lr_steps: int = 30_000
     tv_loss_weight: float = 10.0
 
+    # Camera pose optimization (camera_opt.py): per-train-view 6D-rotation +
+    # translation deltas, absorbed and reset every step (the reference ships
+    # this as examples/pose_opt.jl + src/camera_opt.jl; here it runs jointly
+    # with scene training inside the jitted step).
+    use_pose_opt: bool = False
+    pose_opt_lr: float = 1e-3
+
     # Geometry regularization (geometry_regularization.py).
     use_normal_loss: bool = False
     normal_consistency_weight: float = 0.05

@@ -50,9 +50,15 @@ class TrainState:
     stat_denom: jnp.ndarray  # (C,) f32
     # Optional auxiliary trainables: bilateral_grids, sky_dc.
     aux: dict = struct.field(default_factory=dict)
+    # Optional per-train-view optimized poses {"R": (V,3,3), "t": (V,3)} —
+    # updated by single-step-Adam sign steps and re-absorbed every step
+    # (reference CameraOpt, camera_opt.jl:33-53), NOT by the main Adam.
+    poses: dict = struct.field(default_factory=dict)
 
     @classmethod
-    def create(cls, model: GaussianModel, aux: dict | None = None) -> "TrainState":
+    def create(
+        cls, model: GaussianModel, aux: dict | None = None, poses: dict | None = None
+    ) -> "TrainState":
         c = model.capacity
         aux = aux or {}
         opt = adam_init(model.params() | aux)
@@ -64,6 +70,7 @@ class TrainState:
             grad_accum=jnp.zeros((c,), jnp.float32),
             stat_denom=jnp.zeros((c,), jnp.float32),
             aux=aux,
+            poses=poses or {},
         )
 
     def reset_stats(self) -> "TrainState":
@@ -102,20 +109,40 @@ def _step_core(
     use_sky_dome = "sky_dome" in features
     use_sky_loss = "sky_loss" in features
     use_normal = "normal" in features
+    use_pose = "pose" in features
 
     params = state.model.params()
     aux_params = dict(state.aux)
     probe = jnp.zeros((state.model.capacity, 2), jnp.float32)
+    # Zero-valued pose deltas: their gradient IS the pose gradient, always
+    # linearized around the current pose (reference CameraOpt semantics —
+    # deltas absorbed and reset each step, camera_opt.jl:33-53).
+    pose_params = {
+        "drot": jnp.zeros(6, jnp.float32),
+        "dt": jnp.zeros(3, jnp.float32),
+    }
     step_f = state.step.astype(jnp.float32)
 
-    def loss_fn(params, aux_params, probe):
+    def loss_fn(params, aux_params, probe, pose_params):
         model = state.model.replace_params(params)
+        if use_pose:
+            from ..models.camera_opt import pose_delta
+
+            R_v = state.poses["R"][view_idx]
+            t_v = state.poses["t"][view_idx]
+            R_w2c, t_w2c = pose_delta(
+                R_v, t_v, pose_params["drot"], pose_params["dt"]
+            )
+        else:
+            R_w2c = t_w2c = None
         img, aux = render(
             *model.render_args(),
             camera=camera,
             config=config,
             sh_degree=sh_degree,
             background=background,
+            R_w2c=R_w2c,
+            t_w2c=t_w2c,
             means2d_probe=probe,
         )
         image = img[..., :3]
@@ -211,9 +238,11 @@ def _step_core(
 
         return loss, (terms, parts, aux)
 
-    (loss, (terms, parts, aux)), (g_params, g_aux, g_probe) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1, 2), has_aux=True
-    )(params, aux_params, probe)
+    (loss, (terms, parts, aux)), (g_params, g_aux, g_probe, g_pose) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+            params, aux_params, probe, pose_params
+        )
+    )
 
     lrs = p.lrs(state.step, camera_extent)
     if use_bilateral:
@@ -231,6 +260,27 @@ def _step_core(
     new_params = {k: new_all[k] for k in params}
     new_aux = {k: new_all[k] for k in aux_params}
 
+    new_poses = state.poses
+    if use_pose:
+        from ..models.camera_opt import pose_delta
+
+        # Single-step Adam from zero state (bias-corrected t=1: mhat=g,
+        # vhat=g^2) = an elementwise sign step of size pose_opt_lr — exactly
+        # the reference's reset-every-step Adam (camera_opt.jl:33-41).
+        eps = 1e-15
+        upd = {
+            k: -p.pose_opt_lr * g / (jnp.sqrt(g * g) + eps)
+            for k, g in g_pose.items()
+        }
+        new_R, new_t = pose_delta(
+            state.poses["R"][view_idx], state.poses["t"][view_idx],
+            upd["drot"], upd["dt"],
+        )
+        new_poses = {
+            "R": state.poses["R"].at[view_idx].set(new_R),
+            "t": state.poses["t"].at[view_idx].set(new_t),
+        }
+
     # Densification stats (strategy.jl:118-136): NDC-equivalent screen grads.
     res_half = jnp.array([config.width, config.height], jnp.float32) * 0.5
     gnorm = jnp.linalg.norm(g_probe * res_half[None, :], axis=1)
@@ -243,6 +293,7 @@ def _step_core(
         grad_accum=jnp.where(visible, state.grad_accum + gnorm, state.grad_accum),
         stat_denom=jnp.where(visible, state.stat_denom + 1.0, state.stat_denom),
         aux=new_aux,
+        poses=new_poses,
     )
     if mcmc_noise is not None:
         # MCMC position noise EVERY step (mcmc.jl:109-124), inside the jitted
@@ -505,6 +556,17 @@ class Trainer:
             feats.append("sky_loss")
         if p.use_normal_loss:
             feats.append("normal")
+        poses = None
+        if p.use_pose_opt:
+            feats.append("pose")
+            poses = {
+                "R": jnp.asarray(
+                    np.stack([np.asarray(dataset.cameras[v].R) for v in dataset.train_ids])
+                ),
+                "t": jnp.asarray(
+                    np.stack([np.asarray(dataset.cameras[v].t) for v in dataset.train_ids])
+                ),
+            }
         self.features = tuple(feats)
 
         if mode is None:
@@ -516,7 +578,7 @@ class Trainer:
                 mode = "rgb"
         self.mode = mode
 
-        self.state = TrainState.create(model, aux)
+        self.state = TrainState.create(model, aux, poses)
 
     # -- configs ------------------------------------------------------------
 
@@ -587,6 +649,16 @@ class Trainer:
     @property
     def step(self) -> int:
         return int(self.state.step)
+
+    def optimized_cameras(self) -> list:
+        """Train-view cameras with the optimized poses absorbed (dataset
+        cameras when pose optimization is off)."""
+        cams = [self.dataset.cameras[v] for v in self.dataset.train_ids]
+        if not self.state.poses:
+            return cams
+        R = np.asarray(self.state.poses["R"])
+        t = np.asarray(self.state.poses["t"])
+        return [c.with_pose(R[i], t[i]) for i, c in enumerate(cams)]
 
     def _step_inputs(self):
         """Pick the next view and assemble one step's dispatch inputs
