@@ -102,7 +102,17 @@ def _step_core(
     sky=None,  # SkyDome (static by identity; frozen geometry enters as consts)
     mcmc_noise: tuple | None = None,  # (noise_lr, max_scale, seed): per-step noise in-jit
 ):
-    """One optimization step. Returns (new_state, metrics dict)."""
+    """One optimization step. Returns (new_state, metrics dict).
+
+    Batched-views mode: when `target` is (B, H, W, 3) — with `camera`,
+    `view_idx`, and `extras` carrying a matching leading axis — the per-view
+    loss is vmapped and the step optimizes the MEAN over B views. This is the
+    data-parallel step (parallel/data_parallel.py shards the batch axis over
+    the mesh; the mean's gradient transpose is the per-Gaussian psum over ICI
+    that replaces the reference backward's global atomics, SURVEY §2.8).
+    Densification statistics accumulate per view exactly as B sequential
+    steps would (per-view probe rows recover per-view screen-gradient norms).
+    """
     p = opt_params
     use_bilateral = "bilateral" in features
     use_depth = "depth" in features
@@ -111,19 +121,24 @@ def _step_core(
     use_normal = "normal" in features
     use_pose = "pose" in features
 
+    batch = target.ndim == 4
+    B = target.shape[0] if batch else 1
+
     params = state.model.params()
     aux_params = dict(state.aux)
-    probe = jnp.zeros((state.model.capacity, 2), jnp.float32)
+    cap = state.model.capacity
+    probe = jnp.zeros(((B, cap, 2) if batch else (cap, 2)), jnp.float32)
     # Zero-valued pose deltas: their gradient IS the pose gradient, always
     # linearized around the current pose (reference CameraOpt semantics —
     # deltas absorbed and reset each step, camera_opt.jl:33-53).
+    lead = (B,) if batch else ()
     pose_params = {
-        "drot": jnp.zeros(6, jnp.float32),
-        "dt": jnp.zeros(3, jnp.float32),
+        "drot": jnp.zeros(lead + (6,), jnp.float32),
+        "dt": jnp.zeros(lead + (3,), jnp.float32),
     }
     step_f = state.step.astype(jnp.float32)
 
-    def loss_fn(params, aux_params, probe, pose_params):
+    def view_loss(params, aux_params, probe, pose_params, camera, target, view_idx, extras):
         model = state.model.replace_params(params)
         if use_pose:
             from ..models.camera_opt import pose_delta
@@ -238,6 +253,21 @@ def _step_core(
 
         return loss, (terms, parts, aux)
 
+    if batch:
+
+        def loss_fn(params, aux_params, probe, pose_params):
+            losses, aux_out = jax.vmap(
+                view_loss, in_axes=(None, None, 0, 0, 0, 0, 0, 0)
+            )(params, aux_params, probe, pose_params, camera, target, view_idx, extras)
+            return jnp.mean(losses), aux_out
+
+    else:
+
+        def loss_fn(params, aux_params, probe, pose_params):
+            return view_loss(
+                params, aux_params, probe, pose_params, camera, target, view_idx, extras
+            )
+
     (loss, (terms, parts, aux)), (g_params, g_aux, g_probe, g_pose) = (
         jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
             params, aux_params, probe, pose_params
@@ -266,13 +296,15 @@ def _step_core(
 
         # Single-step Adam from zero state (bias-corrected t=1: mhat=g,
         # vhat=g^2) = an elementwise sign step of size pose_opt_lr — exactly
-        # the reference's reset-every-step Adam (camera_opt.jl:33-41).
+        # the reference's reset-every-step Adam (camera_opt.jl:33-41). The
+        # sign step is invariant to the batch mean's 1/B gradient scaling.
         eps = 1e-15
         upd = {
             k: -p.pose_opt_lr * g / (jnp.sqrt(g * g) + eps)
             for k, g in g_pose.items()
         }
-        new_R, new_t = pose_delta(
+        pd = jax.vmap(pose_delta) if batch else pose_delta
+        new_R, new_t = pd(
             state.poses["R"][view_idx], state.poses["t"][view_idx],
             upd["drot"], upd["dt"],
         )
@@ -283,15 +315,33 @@ def _step_core(
 
     # Densification stats (strategy.jl:118-136): NDC-equivalent screen grads.
     res_half = jnp.array([config.width, config.height], jnp.float32) * 0.5
-    gnorm = jnp.linalg.norm(g_probe * res_half[None, :], axis=1)
-    visible = aux["radii"] > 0
+    if batch:
+        # Per-view probe rows; undo the mean's 1/B so each view's norm
+        # matches what a sequential step would have accumulated.
+        gnorm = jnp.linalg.norm(g_probe * (B * res_half)[None, None, :], axis=-1)
+        visible = aux["radii"] > 0  # (B, C)
+        new_max_radii = jnp.maximum(
+            state.max_radii, jnp.max(jnp.where(visible, aux["radii"], 0), axis=0)
+        )
+        new_grad_accum = state.grad_accum + jnp.sum(
+            jnp.where(visible, gnorm, 0.0), axis=0
+        )
+        new_denom = state.stat_denom + jnp.sum(visible.astype(jnp.float32), axis=0)
+    else:
+        gnorm = jnp.linalg.norm(g_probe * res_half[None, :], axis=1)
+        visible = aux["radii"] > 0
+        new_max_radii = jnp.where(
+            visible, jnp.maximum(state.max_radii, aux["radii"]), state.max_radii
+        )
+        new_grad_accum = jnp.where(visible, state.grad_accum + gnorm, state.grad_accum)
+        new_denom = jnp.where(visible, state.stat_denom + 1.0, state.stat_denom)
     new_state = state.replace(
         model=state.model.replace_params(new_params),
         opt=new_opt,
         step=state.step + 1,
-        max_radii=jnp.where(visible, jnp.maximum(state.max_radii, aux["radii"]), state.max_radii),
-        grad_accum=jnp.where(visible, state.grad_accum + gnorm, state.grad_accum),
-        stat_denom=jnp.where(visible, state.stat_denom + 1.0, state.stat_denom),
+        max_radii=new_max_radii,
+        grad_accum=new_grad_accum,
+        stat_denom=new_denom,
         aux=new_aux,
         poses=new_poses,
     )
@@ -317,23 +367,33 @@ def _step_core(
     # All step metrics ride ONE device->host transfer (the reference's
     # single per-step loss D2H, training.jl:756); individual entries remain
     # for tests/tools that want device values.
+    if batch:
+        l1_m, ssim_m = jnp.mean(parts["l1"]), jnp.mean(parts["ssim"])
+        n_inst = jnp.max(aux["n_instances"])
+        overflow = jnp.any(aux["overflow"])
+        terms_m = {k: jnp.mean(jnp.asarray(terms[k], jnp.float32)) for k in LOSS_TERMS}
+    else:
+        l1_m, ssim_m = parts["l1"], parts["ssim"]
+        n_inst = aux["n_instances"]
+        overflow = aux["overflow"]
+        terms_m = terms
     packed = jnp.stack(
         [
             loss,
-            parts["l1"],
-            parts["ssim"],
-            aux["n_instances"].astype(jnp.float32),
-            aux["overflow"].astype(jnp.float32),
+            l1_m,
+            ssim_m,
+            n_inst.astype(jnp.float32),
+            overflow.astype(jnp.float32),
         ]
-        + [jnp.asarray(terms[k], jnp.float32) for k in LOSS_TERMS]
+        + [jnp.asarray(terms_m[k], jnp.float32) for k in LOSS_TERMS]
     )
     metrics = {
         "loss": loss,
-        "l1": parts["l1"],
-        "ssim": parts["ssim"],
-        "n_instances": aux["n_instances"],
-        "overflow": aux["overflow"],
-        "terms": terms,
+        "l1": l1_m,
+        "ssim": ssim_m,
+        "n_instances": n_inst,
+        "overflow": overflow,
+        "terms": terms_m,
         "packed": packed,
     }
     return new_state, metrics

@@ -135,3 +135,94 @@ def test_tile_sharded_render_matches_replicated(rng):
     g_ref = np.asarray(jax.grad(loss_ref)(means))
     scale = np.maximum(np.abs(g_ref), 1e-4)
     np.testing.assert_allclose(g_sh / scale, g_ref / scale, rtol=0, atol=5e-3)
+
+
+def test_data_parallel_full_loss_step(rng):
+    """DP(mesh=8) == DP(single) on the FULL train step: bilateral + depth +
+    sky dome + sky loss + normal + pose opt all active (VERDICT r1 item 4 —
+    the DP step shares _step_core with the sequential Trainer, no reduced
+    fork)."""
+    import dataclasses
+    import os
+
+    from gsplat_tpu.train.trainer import Trainer
+
+    ds = make_synthetic_dataset(n_points=600, n_views=8, width=48, height=48, holdout=0)
+    # Depth priors: inverse depth written at the SfM points' projected pixels
+    # so the RANSAC anchors are usable.
+    depths, masks = [], []
+    for i in range(8):
+        cam = ds.cameras[i]
+        pc = (np.asarray(cam.R) @ ds.points.T + np.asarray(cam.t)[:, None]).T
+        f = np.asarray(cam.focal)
+        pp = np.asarray(cam.principal) * 48
+        z = np.maximum(pc[:, 2], 0.1)
+        px = (pc[:, 0] / z * f[0] + pp[0]).astype(int)
+        py = (pc[:, 1] / z * f[1] + pp[1]).astype(int)
+        inb = (px >= 0) & (px < 48) & (py >= 0) & (py < 48) & (pc[:, 2] > 0.1)
+        disp = np.clip(1.5 / z, 0, 1)
+        prior = np.full((48, 48), float(np.median(disp[inb])), np.float32)
+        prior[py[inb], px[inb]] = disp[inb]
+        depths.append(prior)
+        masks.append(rng.uniform(0, 1, (48, 48)).astype(np.float32))
+    ds = dataclasses.replace(
+        ds, depths=depths, depth_qsteps=[1 / 255] * 8, sky_masks=masks
+    )
+
+    p = OptimizationParams(
+        use_depth_loss=True, use_sky_loss=True, sky_loss_from_iter=0,
+        use_sky_dome=True, sky_dome_points=128, use_bilateral_grid=True,
+        use_normal_loss=True, normal_from_iter=0, use_pose_opt=True,
+    )
+    model = GaussianModel.create(ds.points, ds.colors, ds.scales, max_sh_degree=0)
+    trainer = Trainer(model, ds, opt_params=p, max_instances=16384)
+    assert set(trainer.features) == {
+        "bilateral", "depth", "sky_dome", "sky_loss", "normal", "pose"
+    }
+
+    inputs = trainer._build_chunk_inputs(8)
+    bg = jnp.zeros(3, jnp.float32)
+    kw = dict(
+        config=trainer.config_for(ds.cameras[0]),
+        opt_params=p,
+        camera_extent=trainer.camera_extent,
+        features=trainer.features,
+        sky=trainer.sky,
+    )
+    # Identity-initialized grids have zero TV; perturb so the term is live.
+    state = trainer.state
+    g = state.aux["bilateral_grids"]
+    state = state.replace(
+        aux={**state.aux, "bilateral_grids": g + 0.01 * jnp.asarray(
+            rng.normal(size=g.shape), jnp.float32
+        )}
+    )
+    s_ref, m_ref = data_parallel_train_step(
+        state, inputs["cam_b"], inputs["targets_b"], bg, 0,
+        inputs["tis"], inputs["ex_b"], mesh=None, **kw,
+    )
+    mesh = make_mesh(8, axis="data")
+    s_par, m_par = data_parallel_train_step(
+        state, inputs["cam_b"], inputs["targets_b"], bg, 0,
+        inputs["tis"], inputs["ex_b"], mesh=mesh, **kw,
+    )
+
+    # Every loss term is actually exercised.
+    for k in ("l1", "ssim", "tv", "depth", "sky", "flatten", "normal"):
+        assert float(m_ref["terms"][k]) != 0.0, f"term {k} inert"
+    np.testing.assert_allclose(float(m_par["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    for k, v in s_ref.model.params().items():
+        np.testing.assert_allclose(
+            np.asarray(s_par.model.params()[k]), np.asarray(v),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    for k in s_ref.aux:
+        np.testing.assert_allclose(
+            np.asarray(s_par.aux[k]), np.asarray(s_ref.aux[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    for k in s_ref.poses:
+        np.testing.assert_allclose(
+            np.asarray(s_par.poses[k]), np.asarray(s_ref.poses[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
