@@ -46,7 +46,7 @@ def main():
     cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     scales = np.full(n, 0.01, np.float32)
 
-    cams, imgs = [], []
+    cams = []
     for i in range(8):
         ang = 2 * np.pi * i / 8
         R, t = look_at(np.array([9 * np.cos(ang), 1.0, 9 * np.sin(ang)]), np.zeros(3))
@@ -56,15 +56,32 @@ def main():
                 focal=np.array([0.7 * WIDTH, 0.7 * WIDTH], np.float32),
             )
         )
-        imgs.append(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
+
+    model = GaussianModel.create(pts, cols, scales, max_sh_degree=3)
+    max_instances = int(os.environ.get("BENCH_MAX_INSTANCES", max(4 * n, 1 << 16)))
+
+    # Ground-truth targets are RENDERS of the scene itself (not noise):
+    # training then exercises the instance/occupancy distribution of a real
+    # converged scene — dense tiles, front-to-back early termination — so the
+    # throughput number transfers (the reference benchmarks real scenes,
+    # src/GaussianSplatting.jl:96-99).
+    from gsplat_tpu.ops.rasterize import RasterizerConfig, render
+
+    gt_cfg = RasterizerConfig(
+        width=WIDTH, height=HEIGHT, mode="rgb",
+        max_instances=max_instances, impl="pallas",
+    )
+    gt_fwd = jax.jit(
+        lambda args, cam: render(*args, camera=cam, config=gt_cfg, sh_degree=3)[0]
+    )
+    args = model.render_args()
+    imgs = [np.asarray(gt_fwd(args, c)[..., :3]) for c in cams]
 
     dataset = ColmapDataset(
         cameras=cams, images=imgs, names=[f"v{i}.png" for i in range(8)],
         train_ids=list(range(8)), test_ids=[], points=pts, colors=cols,
         scales=scales, camera_extent=9.9,
     )
-    model = GaussianModel.create(pts, cols, scales, max_sh_degree=3)
-    max_instances = int(os.environ.get("BENCH_MAX_INSTANCES", max(4 * n, 1 << 16)))
 
     if MODE == "render":
         import jax.numpy as jnp

@@ -31,7 +31,15 @@ import jax
 import jax.numpy as jnp
 
 from ..camera import Camera
-from ..constants import CHUNK, FAR_PLANE, NEAR_PLANE, TILE, blend_features, n_color_features
+from ..constants import (
+    CHUNK,
+    FAR_PLANE,
+    NEAR_PLANE,
+    RADIUS_CLIP,
+    TILE,
+    blend_features,
+    n_color_features,
+)
 from . import tiles
 from .blend_scan import F_PAD, ROW_FEAT, blend_scan
 from .projection import project
@@ -140,25 +148,46 @@ def rasterize(
     resolution_wh = jnp.array([config.width, config.height], jnp.float32)
     principal_px = camera.principal * resolution_wh
 
-    proj = project(
-        means,
-        quats,
-        scales,
-        R,
-        t,
-        camera.focal,
-        principal_px,
-        resolution_wh,
-        near_plane=config.near_plane,
-        far_plane=config.far_plane,
-        with_normal=with_normal,
-    )
+    if config.impl == "pallas":
+        # Fused one-pass Pallas prologue (projection + SH); the pure-JAX
+        # path below is its differential-test oracle (tests/test_proj_fused).
+        from .proj_fused import project_and_sh_fused
+
+        proj = project_and_sh_fused(
+            means,
+            quats,
+            scales,
+            shs,
+            R,
+            t,
+            camera.focal,
+            principal_px,
+            resolution_wh,
+            sh_degree,
+            near_plane=config.near_plane,
+            far_plane=config.far_plane,
+            radius_clip=RADIUS_CLIP,
+            with_normal=with_normal,
+        )
+        rgbs = proj["rgb"]
+    else:
+        proj = project(
+            means,
+            quats,
+            scales,
+            R,
+            t,
+            camera.focal,
+            principal_px,
+            resolution_wh,
+            near_plane=config.near_plane,
+            far_plane=config.far_plane,
+            with_normal=with_normal,
+        )
+        rgbs = sh_to_rgb(means, shs, -R.T @ t, sh_degree)
     mean_2d = proj["mean_2d"]
     if means2d_probe is not None:
         mean_2d = mean_2d + means2d_probe
-
-    camera_center = -R.T @ t
-    rgbs = sh_to_rgb(means, shs, camera_center, sh_degree)
 
     binned = tiles.build_instances(
         mean_2d,
@@ -245,6 +274,7 @@ def rasterize(
             ..., 0
         ].astype(jnp.int32),
         "n_instances": binned["n_instances"],
+        "p_instances": binned["p_instances"],
         "overflow": binned["overflow"],
         # Per-pixel uncertainty sum(alpha_i * T_i) == 1 - T_final exactly
         # (telescoping; reference render.jl:109) — the alpha map.

@@ -80,8 +80,12 @@ def build_instances(
       n_instances: () int32 — total real instances (tiles × gaussians)
       overflow:    () bool — instance budget exceeded; results are truncated
 
-    I_pad = round_up(max_instances, chunk) + T*chunk is static: the re-packing
-    wastes at most (chunk-1) slots per tile.
+    I_pad is static: max_instances plus a 25% (min 16*chunk) slack for the
+    chunk-aligned re-packing. The worst-case re-pack waste is (chunk-1) per
+    non-empty tile — far beyond any real scene — so instead of allocating
+    for it (which made every binning pass scale with n_tiles*chunk), a
+    p_total > I_pad re-pack overflow raises the same traced flag as a plain
+    budget overflow and the host grows the budget (trainer rollback path).
     """
     gx, gy = grid_wh
     n_tiles = gx * gy
@@ -89,7 +93,8 @@ def build_instances(
     I = max_instances
     # Rounded to 8*chunk so the blend kernels' table repack can use wide
     # (1024, F) blocks.
-    I_pad = -(-(max_instances + n_tiles * chunk) // (8 * chunk)) * (8 * chunk)
+    slack = min(n_tiles * chunk, max(max_instances // 4, 16 * chunk))
+    I_pad = -(-(max_instances + slack) // (8 * chunk)) * (8 * chunk)
 
     mean_2d = jax.lax.stop_gradient(mean_2d)
     depth = jax.lax.stop_gradient(depth)
@@ -169,5 +174,10 @@ def build_instances(
         "tile_start": tile_start,
         "tile_count": tile_count,
         "n_instances": jnp.minimum(total, I),
+        # The host's budget-sizing signal: chunk-aligned demand. Under
+        # overflow p_total is computed from truncated counts, but `total`
+        # (a pure cumsum over gaussians) is always exact, so the max is the
+        # best available lower bound on the true demand either way.
+        "p_instances": jnp.maximum(p_total, total),
         "overflow": overflow,
     }

@@ -370,11 +370,13 @@ def _step_core(
     if batch:
         l1_m, ssim_m = jnp.mean(parts["l1"]), jnp.mean(parts["ssim"])
         n_inst = jnp.max(aux["n_instances"])
+        p_inst = jnp.max(aux["p_instances"])
         overflow = jnp.any(aux["overflow"])
         terms_m = {k: jnp.mean(jnp.asarray(terms[k], jnp.float32)) for k in LOSS_TERMS}
     else:
         l1_m, ssim_m = parts["l1"], parts["ssim"]
         n_inst = aux["n_instances"]
+        p_inst = aux["p_instances"]
         overflow = aux["overflow"]
         terms_m = terms
     packed = jnp.stack(
@@ -386,12 +388,17 @@ def _step_core(
             overflow.astype(jnp.float32),
         ]
         + [jnp.asarray(terms_m[k], jnp.float32) for k in LOSS_TERMS]
+        # Col 13: chunk-aligned instance demand — the host fits the static
+        # budget to this (grow-to-fit on overflow, shrink on sustained
+        # under-utilization) instead of blind doubling.
+        + [p_inst.astype(jnp.float32)]
     )
     metrics = {
         "loss": loss,
         "l1": l1_m,
         "ssim": ssim_m,
         "n_instances": n_inst,
+        "p_instances": p_inst,
         "overflow": overflow,
         "terms": terms_m,
         "packed": packed,
@@ -428,7 +435,7 @@ def train_chunk(
     """K training steps in ONE dispatch via lax.scan — amortizes the
     host->device dispatch/sync overhead that dominates remote-TPU training
     (the reference pays a full host round-trip per step, training.jl:756).
-    Returns (state, packed metrics (K, 13))."""
+    Returns (state, packed metrics (K, 14))."""
 
     def body(state, xs):
         cam, tgt, bg, shd, vi, ex = xs
@@ -797,18 +804,54 @@ class Trainer:
             "n_instances": int(row[3]),
             "overflow": row[4] > 0.5,
             "terms": dict(zip(LOSS_TERMS, (float(x) for x in row[5:]))),
+            "p_instances": int(row[13]) if len(row) > 13 else int(row[3]),
         }
 
-    def _grow_budget(self, near_step: int):
-        """Double the instance budget (one recompile per doubling); replaces
-        the reference's grow-only binning buffers (rasterizer.jl:340-343)."""
-        self.max_instances *= 2
+    def _grow_budget(self, near_step: int, demand: int = 0):
+        """Grow the instance budget to fit the observed chunk-aligned demand
+        (packed metric col 13) in ONE recompile — with 25% headroom, rounded
+        to a power of two for config-cache stability — but at least double
+        it, so repeated truncated observations still converge. Replaces the
+        reference's grow-only binning buffers (rasterizer.jl:340-343)."""
+        target = self.max_instances * 2
+        if demand:
+            fit = 1 << max(int(demand * 5 // 4) - 1, 1).bit_length()
+            target = max(target, fit)
+        self.max_instances = target
         self._configs.clear()
+        self._low_util_drains = 0
         print(
             f"[trainer] instance budget overflow near step {near_step}; "
             f"growing max_instances to {self.max_instances}",
             flush=True,
         )
+
+    _low_util_drains = 0
+    MIN_INSTANCE_BUDGET = 1 << 16
+
+    def _consider_shrink(self, demand: int):
+        """Halve the instance budget when the chunk-aligned demand stays
+        below 1/3 of it for several consecutive metric fetches (≥1.5x
+        headroom remains after halving, and I_pad's 25% repack slack keeps
+        covering p_total). Unlike the reference's grow-only buffers, binning
+        costs here scale with the static budget, so oversizing is waste."""
+        if self.max_instances <= self.MIN_INSTANCE_BUDGET:
+            return
+        if demand * 3 <= self.max_instances:
+            self._low_util_drains += 1
+        else:
+            self._low_util_drains = 0
+        if self._low_util_drains >= 5:
+            self.max_instances = max(
+                self.MIN_INSTANCE_BUDGET, self.max_instances // 2
+            )
+            self._configs.clear()
+            self._low_util_drains = 0
+            print(
+                f"[trainer] instance budget under-utilized; shrinking "
+                f"max_instances to {self.max_instances}",
+                flush=True,
+            )
 
     def _drain_metrics(self):
         """Fetch every pending step's packed metrics (ONE host sync per
@@ -821,7 +864,9 @@ class Trainer:
             rows = [np.asarray(p) for (_, _, p) in self._replay]
             if not any(r[4] > 0.5 for r in rows):
                 break
-            self._grow_budget(self._replay[0][0])
+            self._grow_budget(
+                self._replay[0][0], demand=max(int(r[13]) for r in rows)
+            )
             self.state = self._replay_state
             old = self._replay
             self._replay = []
@@ -846,6 +891,7 @@ class Trainer:
         self._replay = []
         self._replay_state = None
         self._last_metrics = m
+        self._consider_shrink(max(int(r[13]) for r in rows))
         return m
 
     # -- chunked (scan) training ------------------------------------------
@@ -941,7 +987,7 @@ class Trainer:
 
     def _dispatch_chunk(self, inp):
         """Dispatch one scan-chunk from a chunk-inputs dict; returns the
-        packed per-step metrics (device array, (K, 13))."""
+        packed per-step metrics (device array, (K, 14))."""
         self.state, packs = train_chunk(
             self.state,
             inp["cam_b"],
@@ -980,6 +1026,7 @@ class Trainer:
                     msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
                 raise FloatingPointError(msg)
         self._last_metrics = m
+        self._consider_shrink(int(np.max(packed[:, 13])))
         return m
 
     def train(self, n_steps: int, log_every: int = 0):
@@ -1013,7 +1060,7 @@ class Trainer:
                 # A truncated render anywhere in the chunk biased its Adam
                 # updates: discard the whole chunk, grow, and re-run the same
                 # views from the pre-chunk state.
-                self._grow_budget(step)
+                self._grow_budget(step, demand=int(np.max(packed[:, 13])))
                 self.state = snapshot
                 packs = self._dispatch_chunk(inputs)
             m = self._record_chunk(step, packed)

@@ -140,9 +140,12 @@ def test_sort_depth_truncation_at_1080p_scale(rng):
     ).astype(np.float32)
     radius = rng.integers(1, 24, size=n).astype(np.int32)
 
+    # 8k+ sparsely-filled tiles: the chunk-aligned re-pack waste is large,
+    # so the budget must carry it (the Trainer would grow to this on the
+    # overflow flag).
     res = tiles.build_instances(
         jnp.asarray(mean_2d), jnp.asarray(depth), jnp.asarray(radius),
-        grid_wh=grid, max_instances=1 << 19, chunk=128,
+        grid_wh=grid, max_instances=1 << 22, chunk=128,
     )
     assert not bool(res["overflow"])
 
