@@ -80,21 +80,16 @@ def build_instances(
       n_instances: () int32 — total real instances (tiles × gaussians)
       overflow:    () bool — instance budget exceeded; results are truncated
 
-    I_pad is static: max_instances plus a 25% (min 16*chunk) slack for the
-    chunk-aligned re-packing. The worst-case re-pack waste is (chunk-1) per
-    non-empty tile — far beyond any real scene — so instead of allocating
-    for it (which made every binning pass scale with n_tiles*chunk), a
-    p_total > I_pad re-pack overflow raises the same traced flag as a plain
-    budget overflow and the host grows the budget (trainer rollback path).
+    `max_instances` bounds the CHUNK-ALIGNED total (real instances plus the
+    per-tile alignment padding, i.e. `p_instances`); since every tile is
+    rounded up, the real-instance total is always <= the aligned total, so
+    one budget covers both. I_pad rounds it to 8*chunk so the blend kernels'
+    table repack can use wide (1024, F) blocks.
     """
     gx, gy = grid_wh
     n_tiles = gx * gy
     N = mean_2d.shape[0]
-    I = max_instances
-    # Rounded to 8*chunk so the blend kernels' table repack can use wide
-    # (1024, F) blocks.
-    slack = min(n_tiles * chunk, max(max_instances // 4, 16 * chunk))
-    I_pad = -(-(max_instances + slack) // (8 * chunk)) * (8 * chunk)
+    I_pad = max(-(-max_instances // (8 * chunk)) * (8 * chunk), 8 * chunk)
 
     mean_2d = jax.lax.stop_gradient(mean_2d)
     depth = jax.lax.stop_gradient(depth)
@@ -107,27 +102,71 @@ def build_instances(
     total = cum[-1] if N > 0 else jnp.int32(0)
     offsets = cum - counts  # exclusive prefix
 
-    # Fill each slot with its owning gaussian: scatter id+1 at each gaussian's
-    # first slot (max resolves collisions from zero-count gaussians in favor
-    # of the later — real — writer), then a cumulative max. (Measured on TPU
-    # v5e this beats a searchsorted formulation ~20x: XLA lowers the big
-    # batched binary search to serial gather passes.)
-    gid1 = jnp.arange(1, N + 1, dtype=jnp.int32)
-    markers = jnp.zeros((I,), jnp.int32).at[offsets].max(
-        jnp.where(counts > 0, gid1, 0), mode="drop"
-    )
-    slot_gid = jax.lax.cummax(markers) - 1  # (I,) gaussian id per slot, -1 if none
+    # --- exact per-tile instance histogram as ONE MXU matmul -------------
+    # counts_tile(y, x) = sum_g [y in rect_y(g)] * [x in rect_x(g)]: the
+    # rect indicator is separable, so the whole histogram is Y^T @ X with
+    # Y (N, gy), X (N, gx) per-gaussian interval masks. ~N*gy*gx f32 MACs on
+    # the MXU (0.05 ms at 1M gaussians) replaces a 4N-corner scatter-add or
+    # a post-sort searchsorted (2.9 ms at 400k instances on v5e) — and it is
+    # exact under truncation, unlike anything derived from a clipped array.
+    live = (radius > 0) & (counts > 0)
+    ix = jnp.arange(gx, dtype=jnp.int32)[None, :]
+    iy = jnp.arange(gy, dtype=jnp.int32)[None, :]
+    X = ((ix >= rmin[:, :1]) & (ix < rmax[:, :1]) & live[:, None]).astype(jnp.float32)
+    Y = ((iy >= rmin[:, 1:2]) & (iy < rmax[:, 1:2])).astype(jnp.float32)
+    hist = jax.lax.dot_general(
+        Y, X, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (gy, gx); exact integers below 2^24
+    tile_count = hist.ravel().astype(jnp.int32)  # (T,) tile-row-major = tile id order
 
-    slot = jnp.arange(I, dtype=jnp.int32)
-    slot_valid = (slot < total) & (slot_gid >= 0)
-    g = jnp.clip(slot_gid, 0, max(N - 1, 0))
+    # Chunk-aligned layout, known BEFORE the sort.
+    pcount = -(-tile_count // chunk) * chunk
+    pcum = jnp.cumsum(pcount)
+    tile_start = (pcum - pcount).astype(jnp.int32)
+    p_total = pcum[-1] if n_tiles > 0 else jnp.int32(0)
+
+    # --- combined [reals | alignment pads] expansion ---------------------
+    # ONE marker scatter + cummax fills every slot with its owner: slots
+    # < total own real instances (marker = gaussian id + 1), slots in
+    # [total, total + pads_total) own per-tile alignment pads (marker =
+    # PAD_BASE + tile id + 1; the high bit keeps cummax monotonic across the
+    # boundary). The pads — (pcount - count) pseudo-instances per tile with
+    # key (tile | all-ones depth) — ride the SAME u32 sort, so the sorted
+    # order IS the final chunk-aligned layout: sorted position ==
+    # destination slot, replacing round 1's post-sort scatter + searchsorted
+    # epilogue (2x searchsorted 2.9 ms + scatter 3.1 ms at 400k on v5e).
+    # (The marker/cummax expansion itself beats a searchsorted formulation
+    # ~20x: XLA lowers the big batched binary search to serial gathers.)
+    pad_counts = pcount - tile_count  # (T,) in [0, chunk)
+    pad_cum = jnp.cumsum(pad_counts)
+    pads_total = pad_cum[-1] if n_tiles > 0 else jnp.int32(0)
+    pad_off = pad_cum - pad_counts
+
+    PAD_BASE = jnp.int32(1) << jnp.int32(30)
+    gid1 = jnp.arange(1, N + 1, dtype=jnp.int32)
+    tid1 = jnp.arange(1, n_tiles + 1, dtype=jnp.int32)
+    idx = jnp.concatenate([offsets, total + pad_off])
+    val = jnp.concatenate([
+        jnp.where(counts > 0, gid1, 0),
+        jnp.where(pad_counts > 0, PAD_BASE + tid1, 0),
+    ])
+    markers = jnp.zeros((I_pad,), jnp.int32).at[idx].max(val, mode="drop")
+    owner = jax.lax.cummax(markers)  # (I_pad,)
+
+    slot = jnp.arange(I_pad, dtype=jnp.int32)
+    is_pad = slot >= total
+    real_valid = ~is_pad & (owner > 0)
+    pad_valid = is_pad & (slot < total + pads_total) & (owner >= PAD_BASE)
+    g = jnp.clip(owner - 1, 0, max(N - 1, 0))
 
     # ONE multi-column row gather for all per-gaussian values the expansion
     # needs (several separate (I,)<-(N,) gathers cost ~2.5 ms each on v5e;
-    # the packed row gather costs one).
+    # the packed row gather costs one). Pad slots gather garbage rows that
+    # the key select below masks out.
     depth_u = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
     pack_g = jnp.stack([offsets, rect_w, rmin[:, 0], rmin[:, 1], depth_u], axis=1)
-    pg = pack_g[g]  # (I, 5)
+    pg = pack_g[g]  # (I_pad, 5)
 
     rank = slot - pg[:, 0]
     w = jnp.maximum(pg[:, 1], 1)
@@ -144,40 +183,31 @@ def build_instances(
     # unordered as the reference's unstable sortperm!).
     tile_bits = max((n_tiles + 1).bit_length(), 1)
     depth_bits = 32 - tile_bits
-    d_u = pg[:, 4].astype(jnp.uint32) >> jnp.uint32(tile_bits)
-    key = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | d_u
-    key = jnp.where(slot_valid, key, jnp.uint32(0xFFFFFFFF))
-    sorted_key, sorted_gid = jax.lax.sort_key_val(key, jnp.where(slot_valid, g, -1))
-    sorted_tile = (sorted_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
+    depth_mask = jnp.uint32((1 << depth_bits) - 1)
+    # Clamp real depth fields below the pad sentinel (all-ones) so a pad can
+    # never sort in front of a real instance of its tile.
+    d_u = jnp.minimum(pg[:, 4].astype(jnp.uint32) >> jnp.uint32(tile_bits),
+                      depth_mask - 1)
+    key_real = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | d_u
+    pad_tile = jnp.clip(owner - PAD_BASE - 1, 0, max(n_tiles - 1, 0))
+    key_pad = (pad_tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | depth_mask
+    key = jnp.where(
+        real_valid, key_real,
+        jnp.where(pad_valid, key_pad, jnp.uint32(0xFFFFFFFF)),
+    )
+    _, padded_ids = jax.lax.sort_key_val(key, jnp.where(real_valid, g, -1))
 
-    tiles_iota = jnp.arange(n_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_tile, tiles_iota, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_tile, tiles_iota, side="right").astype(jnp.int32)
-    tile_count = end - start
-
-    # Chunk-aligned re-pack.
-    pcount = -(-tile_count // chunk) * chunk
-    pcum = jnp.cumsum(pcount)
-    tile_start = (pcum - pcount).astype(jnp.int32)
-    p_total = pcum[-1] if n_tiles > 0 else jnp.int32(0)
-
-    sslot = jnp.arange(I, dtype=jnp.int32)
-    st = jnp.clip(sorted_tile, 0, n_tiles - 1)
-    pack_t = jnp.stack([tile_start, start], axis=1)  # one gather, not two
-    pt = pack_t[st]  # (I, 2)
-    dest = jnp.where(sorted_tile < n_tiles, pt[:, 0] + (sslot - pt[:, 1]), I_pad)
-    padded_ids = jnp.full((I_pad,), -1, jnp.int32).at[dest].set(sorted_gid, mode="drop")
-
-    overflow = (total > I) | (p_total > I_pad)
+    # Truncation (p_total beyond the budget) breaks the slab layout for the
+    # affected tiles; the overflow flag covers it (total <= p_total always)
+    # and the Trainer discards + replays flagged chunks after regrowth.
+    overflow = p_total > I_pad
     return {
         "padded_ids": padded_ids,
         "tile_start": tile_start,
         "tile_count": tile_count,
-        "n_instances": jnp.minimum(total, I),
-        # The host's budget-sizing signal: chunk-aligned demand. Under
-        # overflow p_total is computed from truncated counts, but `total`
-        # (a pure cumsum over gaussians) is always exact, so the max is the
-        # best available lower bound on the true demand either way.
-        "p_instances": jnp.maximum(p_total, total),
+        "n_instances": jnp.minimum(total, I_pad),
+        # The host's budget-sizing signal: chunk-aligned demand, exact even
+        # under truncation (the matmul histogram sees the full demand).
+        "p_instances": p_total,
         "overflow": overflow,
     }

@@ -807,16 +807,25 @@ class Trainer:
             "p_instances": int(row[13]) if len(row) > 13 else int(row[3]),
         }
 
+    @staticmethod
+    def _fit_budget(demand: int) -> int:
+        """Snap demand + 25% headroom UP to a ~1.19x geometric grid of
+        budgets (4 steps per octave, 1024-aligned). The exact chunk-aligned
+        demand is known (packed metric col 13), so the budget can be fitted
+        rather than doubled; the geometric grid keeps the set of distinct
+        compiled configs small as demand drifts during densification."""
+        target = demand * 5 // 4
+        b = 1 << 16
+        while b < target:
+            b = -(-(b * 19) // (16 * 1024)) * 1024
+        return b
+
     def _grow_budget(self, near_step: int, demand: int = 0):
         """Grow the instance budget to fit the observed chunk-aligned demand
-        (packed metric col 13) in ONE recompile — with 25% headroom, rounded
-        to a power of two for config-cache stability — but at least double
-        it, so repeated truncated observations still converge. Replaces the
-        reference's grow-only binning buffers (rasterizer.jl:340-343)."""
-        target = self.max_instances * 2
-        if demand:
-            fit = 1 << max(int(demand * 5 // 4) - 1, 1).bit_length()
-            target = max(target, fit)
+        in ONE recompile — but at least 1.5x, so a stale demand reading
+        still converges. Replaces the reference's grow-only binning buffers
+        (rasterizer.jl:340-343)."""
+        target = max(self.max_instances * 3 // 2, self._fit_budget(demand))
         self.max_instances = target
         self._configs.clear()
         self._low_util_drains = 0
@@ -830,20 +839,20 @@ class Trainer:
     MIN_INSTANCE_BUDGET = 1 << 16
 
     def _consider_shrink(self, demand: int):
-        """Halve the instance budget when the chunk-aligned demand stays
-        below 1/3 of it for several consecutive metric fetches (≥1.5x
-        headroom remains after halving, and I_pad's 25% repack slack keeps
-        covering p_total). Unlike the reference's grow-only buffers, binning
-        costs here scale with the static budget, so oversizing is waste."""
+        """Refit the budget downward when the chunk-aligned demand leaves
+        >2x headroom for several consecutive metric fetches. Unlike the
+        reference's grow-only buffers, binning costs here scale with the
+        static budget, so oversizing is waste. The refit target keeps 25%
+        headroom, so a shrink never immediately re-overflows."""
         if self.max_instances <= self.MIN_INSTANCE_BUDGET:
             return
-        if demand * 3 <= self.max_instances:
+        if demand * 2 <= self.max_instances:
             self._low_util_drains += 1
         else:
             self._low_util_drains = 0
         if self._low_util_drains >= 5:
             self.max_instances = max(
-                self.MIN_INSTANCE_BUDGET, self.max_instances // 2
+                self.MIN_INSTANCE_BUDGET, self._fit_budget(demand)
             )
             self._configs.clear()
             self._low_util_drains = 0
