@@ -939,12 +939,13 @@ class Trainer:
             nxt = min(nxt, (step // b + 1) * b)
         return nxt
 
-    def _build_chunk_inputs(self, k: int):
+    def _build_chunk_inputs(self, k: int, step: int):
         """Assemble k steps' worth of batched dispatch inputs (host-side;
-        advances the epoch shuffle and SH ramp)."""
+        advances the epoch shuffle and SH ramp). `step` is the host-tracked
+        step counter — reading self.step here would sync on the in-flight
+        chunk and stall the pipeline."""
         cams, targets, tis, extras = [], [], [], []
         sh_degrees = []
-        step = self.step
         for j in range(k):
             if (step + j) > 0 and (step + j) % self.sh_ramp_every == 0:
                 self.sh_degree = min(self.sh_degree + 1, self.state.model.max_sh_degree)
@@ -1048,41 +1049,98 @@ class Trainer:
             self.train_time += _time.perf_counter() - t0
             self.train_steps_timed += n_steps
 
+    def _needs_host_barrier(self, nxt: int) -> bool:
+        """True when the chunk ending at `nxt` must be retired (metrics
+        fetched, strategy applied) BEFORE the next chunk may be dispatched —
+        i.e. when post_train_step at `nxt` is not the identity, or an
+        autosave lands there. Everywhere else the next chunk can be
+        dispatched speculatively and overlap the pending fetch."""
+        from .strategy import DefaultStrategy, MCMCStrategy
+
+        if self.autosave_every and nxt % self.autosave_every == 0:
+            return True
+        st = self.strategy
+        if isinstance(st, DefaultStrategy):
+            return nxt <= st.densify_until_iter and (
+                nxt % st.densification_interval == 0
+                or nxt % st.opacity_reset_interval == 0
+            )
+        if isinstance(st, MCMCStrategy):
+            return (
+                st.start_refine < nxt < st.stop_refine
+                and nxt % st.refine_every == 0
+            )
+        return False
+
+    def _retire_chunk(self, chunk, successors, log_every: int):
+        """Fetch a dispatched chunk's metrics and finalize it. On overflow,
+        discard the chunk AND every in-flight successor (their dispatch
+        state descended from the truncated result), grow the budget, and
+        replay all of them in order from the pre-chunk snapshot."""
+        packs = chunk["packs"]
+        while True:
+            packed = np.asarray(packs)
+            if packed.ndim == 1:
+                packed = packed[None]
+            if not (packed[:, 4] > 0.5).any():
+                break
+            # A truncated render anywhere in the chunk biased its Adam
+            # updates: discard the whole chunk, grow, and re-run the same
+            # views from the pre-chunk state.
+            self._grow_budget(chunk["step"], demand=int(np.max(packed[:, 13])))
+            self.state = chunk["snapshot"]
+            packs = chunk["packs"] = self._dispatch_chunk(chunk["inputs"])
+            for s in successors:
+                s["snapshot"] = self.state
+                s["packs"] = self._dispatch_chunk(s["inputs"])
+        m = self._record_chunk(chunk["step"], packed)
+        if self.strategy is not None:
+            from .strategy import MCMCStrategy
+
+            # Between host barriers post_train_step is the identity, so
+            # applying it to a state that already includes a speculatively
+            # dispatched successor chunk is sound; at barriers `successors`
+            # is empty and self.state is exactly this chunk's result.
+            self.state = self.strategy.post_train_step(
+                self.state, self, chunk["nxt"],
+                noise_in_step=isinstance(self.strategy, MCMCStrategy),
+            )
+        if log_every and chunk["nxt"] % log_every == 0:
+            self._log_line(m, step=chunk["nxt"])
+        if self.autosave_every and chunk["nxt"] % self.autosave_every == 0:
+            self._maybe_autosave()
+        return m
+
     def _train(self, n_steps: int, log_every: int = 0):
         if not self._can_chunk():
             return self._train_stepwise(n_steps, log_every)
-        end = self.step + n_steps
-        while self.step < end:
-            step = self.step
-            nxt = min(self._next_boundary(step), end)
+        hstep = self.step  # ONE device sync at entry; host-tracked after
+        end = hstep + n_steps
+        pending = None
+        while hstep < end or pending is not None:
+            if pending is not None and (
+                hstep >= end or self._needs_host_barrier(pending["nxt"])
+            ):
+                self._retire_chunk(pending, [], log_every)
+                pending = None
+                continue
+            # Dispatch the next chunk first — the device chews on it while
+            # the host fetches/retires the pending one (pipelined; keeps the
+            # remote TPU busy through the per-chunk host round-trip).
+            nxt = min(self._next_boundary(hstep), end)
             if log_every:
-                nxt = min(nxt, (step // log_every + 1) * log_every)
-            snapshot = self.state  # pre-chunk state (pytrees are immutable)
-            inputs = self._build_chunk_inputs(nxt - step)
-            packs = self._dispatch_chunk(inputs)
-            while True:
-                packed = np.asarray(packs)
-                if packed.ndim == 1:
-                    packed = packed[None]
-                if not (packed[:, 4] > 0.5).any():
-                    break
-                # A truncated render anywhere in the chunk biased its Adam
-                # updates: discard the whole chunk, grow, and re-run the same
-                # views from the pre-chunk state.
-                self._grow_budget(step, demand=int(np.max(packed[:, 13])))
-                self.state = snapshot
-                packs = self._dispatch_chunk(inputs)
-            m = self._record_chunk(step, packed)
-            if self.strategy is not None:
-                from .strategy import MCMCStrategy
-
-                self.state = self.strategy.post_train_step(
-                    self.state, self, nxt,
-                    noise_in_step=isinstance(self.strategy, MCMCStrategy),
-                )
-            if log_every and nxt % log_every == 0:
-                self._log_line(m)
-            self._maybe_autosave()
+                nxt = min(nxt, (hstep // log_every + 1) * log_every)
+            cur = {
+                "step": hstep,
+                "nxt": nxt,
+                "snapshot": self.state,  # pre-chunk state (pytrees immutable)
+                "inputs": self._build_chunk_inputs(nxt - hstep, hstep),
+            }
+            cur["packs"] = self._dispatch_chunk(cur["inputs"])
+            if pending is not None:
+                self._retire_chunk(pending, [cur], log_every)
+            pending = cur
+            hstep = nxt
         return self.state
 
     def _train_stepwise(self, n_steps: int, log_every: int = 0):
@@ -1146,11 +1204,16 @@ class Trainer:
     def ms_per_step(self) -> float:
         return 1000.0 * self.train_time / max(self.train_steps_timed, 1)
 
-    def _log_line(self, m):
+    def _log_line(self, m, step: int | None = None):
+        # `step` is the host-tracked step of the retired chunk; reading
+        # self.step mid-pipeline would sync on (and report) the in-flight
+        # successor chunk's state instead.
+        if step is None:
+            step = self.step
         loss = float(m["loss"])
-        self.history.append((self.step, loss))
+        self.history.append((step, loss))
         print(
-            f"step {self.step}: loss={loss:.5f} l1={float(m['l1']):.5f} "
+            f"step {step}: loss={loss:.5f} l1={float(m['l1']):.5f} "
             f"ssim={float(m['ssim']):.4f} "
             f"alive={int(self.state.model.n_alive)}",
             flush=True,

@@ -180,7 +180,7 @@ def test_data_parallel_full_loss_step(rng):
         "bilateral", "depth", "sky_dome", "sky_loss", "normal", "pose"
     }
 
-    inputs = trainer._build_chunk_inputs(8)
+    inputs = trainer._build_chunk_inputs(8, 0)
     bg = jnp.zeros(3, jnp.float32)
     kw = dict(
         config=trainer.config_for(ds.cameras[0]),
