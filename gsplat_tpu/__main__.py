@@ -52,6 +52,26 @@ def _cli():
     v.add_argument("--width", type=int, default=1024)
     v.add_argument("--height", type=int, default=576)
 
+    a = sub.add_parser("app", help="live-training web app: train + watch + steer")
+    a.add_argument("dataset")
+    a.add_argument("--scale", type=int, default=None)
+    a.add_argument("--steps", type=int, default=30_000)
+    a.add_argument("--strategy", default="default", choices=["default", "mcmc", "none"])
+    a.add_argument("--holdout", type=int, default=8)
+    a.add_argument("--params", default=None, help="TOML OptimizationParams file")
+    a.add_argument("--seed", type=int, default=0)
+    a.add_argument("--max-instances", type=int, default=None)
+    a.add_argument("--port", type=int, default=8000)
+    a.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address (default loopback; 0.0.0.0 exposes the unauthenticated "
+        "endpoint on all interfaces)",
+    )
+    a.add_argument("--width", type=int, default=1024)
+    a.add_argument("--height", type=int, default=576)
+    a.add_argument("--out-dir", default=".", help="where /save writes checkpoints")
+    a.add_argument("--autostart", action="store_true", help="begin training immediately")
+
     cp = sub.add_parser("capture", help="render a keyframed camera path to video/frames")
     cp.add_argument("model")
     cp.add_argument("path_toml")
@@ -118,6 +138,32 @@ def _cli():
         Viewer(model, width=args.width, height=args.height).serve(
             port=args.port, host=args.host
         )
+    elif args.cmd == "app":
+        import jax
+
+        from .api import _build_trainer, standard_scale
+        from .data.colmap import load_colmap
+        from .train.params_io import load_opt_params
+        from .viewer import TrainingViewer
+
+        scale = args.scale or standard_scale(args.dataset)
+        dataset = load_colmap(args.dataset, scale=scale, holdout=args.holdout)
+        opt = load_opt_params(args.params) if args.params else None
+        max_instances = args.max_instances or (
+            1 << 21 if jax.default_backend() == "tpu" else 1 << 16
+        )
+        trainer = _build_trainer(
+            dataset, opt,
+            None if args.strategy == "none" else args.strategy,
+            max_instances=max_instances, seed=args.seed,
+        )
+        tv = TrainingViewer(
+            trainer, width=args.width, height=args.height,
+            max_steps=args.steps, out_dir=args.out_dir,
+        )
+        if args.autostart:
+            tv._run.set()
+        tv.serve(port=args.port, host=args.host)
     elif args.cmd == "capture":
         from .camera import Camera
         from .utils.camera_path import CameraPath, capture_path
