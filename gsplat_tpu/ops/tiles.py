@@ -174,28 +174,25 @@ def build_instances(
     ty = pg[:, 3] + rank // w
     tile = ty * gx + tx
 
-    # Single-key u32 sort: [tile | truncated depth bits]. The reference packs
-    # (tile, depth) into a UInt64 key (utils.jl:85-120); on TPU a 32-bit
-    # single-key sort is ~2x the speed of a lexicographic two-key sort, and
-    # the top bits of a positive IEEE float are order-preserving, so
-    # truncating depth to the spare bits keeps front-to-back ordering (ties
-    # only between near-identical depths — blend order there is as
-    # unordered as the reference's unstable sortperm!).
-    tile_bits = max((n_tiles + 1).bit_length(), 1)
-    depth_bits = 32 - tile_bits
-    depth_mask = jnp.uint32((1 << depth_bits) - 1)
-    # Clamp real depth fields below the pad sentinel (all-ones) so a pad can
-    # never sort in front of a real instance of its tile.
-    d_u = jnp.minimum(pg[:, 4].astype(jnp.uint32) >> jnp.uint32(tile_bits),
-                      depth_mask - 1)
-    key_real = (tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | d_u
+    # Exact lexicographic (tile, depth) sort — the reference's UInt64
+    # (tile | depth-bits) key (utils.jl:85-120) spelled as a two-key
+    # `lax.sort`. Full f32 depth precision: the top bits of a positive IEEE
+    # float are order-preserving, so the raw bit pattern is the second key.
+    # (A packed single-u32 key with truncated depth is ~2x faster to sort,
+    # but at a 1080p grid it keeps only 11 mantissa bits and near-tie
+    # high-alpha splats composite out of order — up to 0.15 max pixel error
+    # vs the exact order in tests/test_tiles.py's image-equivalence test.)
+    # Pads sort to their tile's tail via an all-ones depth key (greater than
+    # any finite positive float's bits); dead slots sort last of all.
     pad_tile = jnp.clip(owner - PAD_BASE - 1, 0, max(n_tiles - 1, 0))
-    key_pad = (pad_tile.astype(jnp.uint32) << jnp.uint32(depth_bits)) | depth_mask
-    key = jnp.where(
-        real_valid, key_real,
-        jnp.where(pad_valid, key_pad, jnp.uint32(0xFFFFFFFF)),
+    key_tile = jnp.where(
+        real_valid, tile.astype(jnp.uint32),
+        jnp.where(pad_valid, pad_tile.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF)),
     )
-    _, padded_ids = jax.lax.sort_key_val(key, jnp.where(real_valid, g, -1))
+    key_depth = jnp.where(real_valid, pg[:, 4].astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    _, _, padded_ids = jax.lax.sort(
+        (key_tile, key_depth, jnp.where(real_valid, g, -1)), num_keys=2
+    )
 
     # Truncation (p_total beyond the budget) breaks the slab layout for the
     # affected tiles; the overflow flag covers it (total <= p_total always)
