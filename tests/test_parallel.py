@@ -226,3 +226,81 @@ def test_data_parallel_full_loss_step(rng):
             np.asarray(s_par.poses[k]), np.asarray(s_ref.poses[k]),
             rtol=1e-4, atol=1e-6, err_msg=k,
         )
+
+
+def test_fully_sharded_render_matches_replicated(rng):
+    """§2.8 layout 2 (fullshard.py): gauss-sharded prologue + instance
+    all-to-all + tile-sharded blend with NO replicated table must match the
+    single-device rasterize() — forward image AND parameter gradients (the
+    backward crosses the all-to-all transpose, the local scatter/gather
+    transposes, and the pose-operand psum)."""
+    from gsplat_tpu.ops.rasterize import RasterizerConfig, rasterize
+    from gsplat_tpu.parallel.fullshard import render_fully_sharded
+
+    n = 256  # divides 8 devices
+    W = H = 64
+    mesh = make_mesh(8, axis="shard")
+    means = jnp.asarray(np.stack([
+        rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), rng.uniform(2, 8, n)], 1), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    scales = jnp.exp(jnp.asarray(rng.uniform(-2.5, -1.2, (n, 3)), jnp.float32))
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
+    shs = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 1, 3)), jnp.float32)
+    cam = Camera.create(width=W, height=H, focal=np.array([70.0, 70.0], np.float32))
+    cfg = RasterizerConfig(width=W, height=H, mode="rgb", max_instances=8192, impl="pallas")
+
+    img_ref, aux_ref = rasterize(
+        means, quats, scales, opac, shs, camera=cam, config=cfg, sh_degree=0
+    )
+    img_sh, aux_sh = render_fully_sharded(
+        means, quats, scales, opac, shs,
+        camera=cam, config=cfg, sh_degree=0, mesh=mesh, exchange_budget=2048,
+    )
+    assert not bool(aux_sh["overflow"])
+    assert not bool(aux_ref["overflow"])
+    np.testing.assert_allclose(
+        np.asarray(img_sh), np.asarray(img_ref), rtol=1e-4, atol=1e-5
+    )
+
+    tgt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+
+    def loss_ref(m, o, s):
+        img, _ = rasterize(m, quats, s, o, shs, camera=cam, config=cfg, sh_degree=0)
+        return jnp.mean((img - tgt) ** 2)
+
+    def loss_sh(m, o, s):
+        img, _ = render_fully_sharded(
+            m, quats, s, o, shs, camera=cam, config=cfg, sh_degree=0,
+            mesh=mesh, exchange_budget=2048,
+        )
+        return jnp.mean((img - tgt) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(means, opac, scales)
+    g_sh = jax.grad(loss_sh, argnums=(0, 1, 2))(means, opac, scales)
+    for a, b, name in zip(g_sh, g_ref, ("means", "opacities", "scales")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6, err_msg=name
+        )
+
+
+def test_fully_sharded_exchange_overflow_flag(rng):
+    """A too-small per-pair exchange budget must raise the traced overflow
+    flag (the Trainer's grow-and-replay signal), not crash."""
+    from gsplat_tpu.ops.rasterize import RasterizerConfig
+    from gsplat_tpu.parallel.fullshard import render_fully_sharded
+
+    n = 64
+    mesh = make_mesh(8, axis="shard")
+    means = jnp.asarray(np.stack([
+        np.zeros(n), np.zeros(n), np.full(n, 4.0)], 1), jnp.float32)  # all in center
+    quats = jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)), jnp.float32)
+    scales = jnp.full((n, 3), 0.5, jnp.float32)
+    opac = jnp.full((n,), 0.8, jnp.float32)
+    shs = jnp.zeros((n, 1, 3), jnp.float32)
+    cam = Camera.create(width=32, height=32, focal=np.array([40.0, 40.0], np.float32))
+    cfg = RasterizerConfig(width=32, height=32, mode="rgb", max_instances=2048, impl="pallas")
+    _, aux = render_fully_sharded(
+        means, quats, scales, opac, shs,
+        camera=cam, config=cfg, sh_degree=0, mesh=mesh, exchange_budget=1,
+    )
+    assert bool(aux["overflow"])
