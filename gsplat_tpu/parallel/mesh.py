@@ -29,6 +29,47 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> None:
+    """Join the multi-host job: `jax.distributed.initialize` with the
+    standard env-var fallbacks (JAX_COORDINATOR_ADDRESS etc. / TPU pod
+    metadata). After this, `jax.devices()` spans every host and
+    `make_global_mesh` builds pod-wide meshes; collectives ride ICI within
+    a slice and DCN across. On CPU the gloo backend serves the same role
+    (how tests/test_multihost.py exercises this path with 2 processes)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def make_global_mesh(axis: str = "data") -> Mesh:
+    """Mesh over ALL devices of the (multi-host) job."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def host_local_to_global(mesh: Mesh, axis: str, tree):
+    """Assemble globally-sharded batch arrays from per-process local shards.
+
+    Each process passes ONLY its local slice of the leading (batch) axis —
+    e.g. its locally-loaded views: process p of P contributes rows
+    [p*B/P, (p+1)*B/P) of the global batch. Returns arrays sharded P(axis)
+    over the global mesh, ready for the data-parallel train step. This is
+    the multi-host view-loading seam: each host reads only its own images
+    from disk (SURVEY §2.8; no reference analogue — it is single-device)."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree,
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
