@@ -22,6 +22,8 @@ def _cli():
     t.add_argument("--params", default=None, help="TOML OptimizationParams file")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--max-instances", type=int, default=None)
+    t.add_argument("--profile", default=None, metavar="DIR",
+                   help="trace the first steps with the JAX profiler into DIR")
 
     b = sub.add_parser("benchmark", help="the 7k/30k quantized-metric protocol")
     b.add_argument("dataset")
@@ -99,7 +101,7 @@ def _cli():
             strategy=None if args.strategy == "none" else args.strategy,
             opt_params=opt, holdout=args.holdout,
             checkpoint=args.checkpoint, ply=args.ply, seed=args.seed,
-            max_instances=args.max_instances,
+            max_instances=args.max_instances, profile_dir=args.profile,
         )
     elif args.cmd == "benchmark":
         from .api import benchmark

@@ -68,8 +68,11 @@ def main(
     log_every: int = 100,
     max_instances: int | None = None,
     seed: int = 0,
+    profile_dir: str | None = None,
 ):
-    """Headless training (reference main, GaussianSplatting.jl:120-203)."""
+    """Headless training (reference main, GaussianSplatting.jl:120-203).
+    `profile_dir` wraps the run in the JAX/XLA profiler (device timeline +
+    HLO breakdown, viewable in TensorBoard/Perfetto)."""
     scale = scale or standard_scale(dataset_path)
     print(f"Loading {dataset_path} @ scale {scale}...", flush=True)
     dataset = load_colmap(dataset_path, scale=scale, holdout=holdout)
@@ -85,7 +88,10 @@ def main(
     trainer = _build_trainer(dataset, opt_params, strategy, max_instances=max_instances, seed=seed)
 
     t0 = time.perf_counter()
-    for start in range(0, n_steps, log_every):
+    if profile_dir:
+        trainer.profile(min(n_steps, 3 * trainer.chunk_steps), profile_dir)
+        print(f"profiler trace -> {profile_dir}", flush=True)
+    for start in range(trainer.step, n_steps, log_every):
         trainer.train(min(log_every, n_steps - start))
         v = trainer.validate() if dataset.n_test else {}
         line = trainer.losses.breakdown_line()

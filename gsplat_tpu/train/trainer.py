@@ -1049,6 +1049,24 @@ class Trainer:
             self.train_time += _time.perf_counter() - t0
             self.train_steps_timed += n_steps
 
+    def profile(self, n_steps: int, trace_dir: str):
+        """Train `n_steps` under the JAX/XLA profiler. Writes a TensorBoard/
+        Perfetto trace (device timelines, HLO op breakdown, host<->device
+        transfers) to `trace_dir` — the deep-dive companion to the
+        wall-clock stage timings in benchmark/stages.py."""
+        import jax.profiler as _p
+
+        _p.start_trace(trace_dir)
+        try:
+            with _p.TraceAnnotation("gsplat_train"):
+                out = self.train(n_steps)
+            # The pipelined chunk loop returns with work in flight; fetch a
+            # leaf so the trace covers the full device timeline.
+            np.asarray(self.state.model.points.ravel()[0])
+            return out
+        finally:
+            _p.stop_trace()
+
     def _needs_host_barrier(self, nxt: int) -> bool:
         """True when the chunk ending at `nxt` must be retired (metrics
         fetched, strategy applied) BEFORE the next chunk may be dispatched —

@@ -383,3 +383,24 @@ def test_joint_pose_opt_training(dataset):
         np.testing.assert_array_equal(
             np.asarray(s2.poses["R"]), np.asarray(trainer.state.poses["R"])
         )
+
+
+def test_trainer_profile_writes_trace(tmp_path):
+    """Trainer.profile wraps training in the JAX/XLA profiler and writes a
+    TensorBoard/Perfetto trace directory (SURVEY §5 tracing row)."""
+    import os
+
+    from gsplat_tpu.data.colmap import make_synthetic_dataset
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.trainer import Trainer
+
+    ds = make_synthetic_dataset(n_points=50, n_views=3, width=48, height=48)
+    model = GaussianModel.create(ds.points, ds.colors, ds.scales, max_sh_degree=0)
+    tr = Trainer(model, ds, max_instances=4096)
+    out = str(tmp_path / "trace")
+    tr.profile(4, out)
+    assert tr.step == 4
+    files = [
+        os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs
+    ]
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in files), files
