@@ -30,13 +30,21 @@ def _gaussian_taps(n: int = SSIM_WINDOW, sigma: float = SSIM_SIGMA):
     return w / jnp.sum(w)
 
 
-def _blur(img):
-    """Separable 11-tap Gaussian filter, same padding. img: (H, W, C).
+def _band_matrix(n: int):
+    """(n, n) banded matrix B with B[i, j] = taps[j - i + 5] — one matmul
+    row-blurs n samples with zero ('same') padding at the edges."""
+    taps = _gaussian_taps()
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    d = j - i + SSIM_WINDOW // 2
+    inband = (d >= 0) & (d < SSIM_WINDOW)
+    return jnp.where(inband, taps[jnp.clip(d, 0, SSIM_WINDOW - 1)], 0.0)
 
-    All C maps ride ONE depthwise conv pair — the fused-SSIM caller stacks
-    its five moment maps into 15 channels, so the whole window pass is two
-    convolutions instead of ten (the fusion the reference hand-writes in its
-    kernel, fused_ssim.jl:34-238)."""
+
+def _blur_conv(img):
+    """Separable 11-tap Gaussian filter as a depthwise conv pair — the
+    oracle for `_blur` (kept for differential testing; see fused_ssim.jl's
+    own conv-composition oracle, test/runtests.jl:496-520)."""
     c = img.shape[-1]
     taps = _gaussian_taps()
     x = img[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
@@ -51,6 +59,29 @@ def _blur(img):
         x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, feature_group_count=c
     )
     return x[0].transpose(1, 2, 0)
+
+
+def _blur(img):
+    """Separable 11-tap Gaussian filter, same padding. img: (H, W, C).
+
+    TPU spelling: two BANDED-MATRIX MATMULS on the MXU instead of grouped
+    depthwise convolutions (XLA lowers feature_group_count convs poorly on
+    TPU — measured ~5 ms fwd+bwd at 976x544x15, vs matmul FLOPs that are
+    trivial at MXU rates). The H-pass is B_h @ img reshaped (H, W*C); the
+    W-pass contracts the W axis against B_w. All 15 moment maps of the
+    fused-SSIM caller ride the same two matmuls. HIGHEST precision: the
+    variance maps difference nearly-equal second moments, so bf16 matmul
+    error would surface in var/cov."""
+    h, w, c = img.shape
+    bh = _band_matrix(h)
+    bw = _band_matrix(w)
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.dot(bh, img.reshape(h, w * c), precision=hi).reshape(h, w, c)
+    # out[h, w, c] = sum_j B_w[w, j] x[h, j, c]
+    x = jax.lax.dot_general(
+        x, bw, (((1,), (1,)), ((), ())), precision=hi
+    )  # (h, c, w)
+    return x.transpose(0, 2, 1)
 
 
 def ssim(x, y):

@@ -404,3 +404,23 @@ def test_trainer_profile_writes_trace(tmp_path):
         os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs
     ]
     assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in files), files
+
+
+def test_blur_matmul_matches_conv_oracle(rng):
+    """The banded-matmul blur (the MXU spelling) must equal the depthwise
+    conv composition — value AND gradient (differential testing, the
+    reference's fused-SSIM pattern, runtests.jl:496-520)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.train.losses import _blur, _blur_conv, ssim
+
+    img = jnp.asarray(rng.uniform(0, 1, (64, 48, 15)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_blur(img)), np.asarray(_blur_conv(img)), rtol=1e-5, atol=1e-6
+    )
+    x = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)), jnp.float32)
+    assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+    g = jax.grad(lambda a: ssim(a, y))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
