@@ -54,6 +54,39 @@ def make_global_mesh(axis: str = "data") -> Mesh:
     return Mesh(np.array(jax.devices()), (axis,))
 
 
+ASYNC_COLLECTIVE_FLAGS = (
+    # Decompose each grad all-reduce so its DMA phase overlaps the remaining
+    # backward compute (XLA's async collectives + latency-hiding scheduler).
+    "--xla_tpu_enable_async_collective_fusion=true "
+    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true "
+    "--xla_tpu_enable_async_collective_fusion_multiple_steps=true "
+    "--xla_tpu_overlap_compute_collective_tc=true "
+    "--xla_enable_async_all_gather=true "
+    "--xla_enable_async_collective_permute=true"
+)
+
+
+def enable_async_collectives() -> None:
+    """Opt in to collective/compute overlap BEFORE jax initializes devices.
+
+    The data-parallel backward ends in one per-Gaussian gradient psum (the
+    cross-view sum that replaces the reference backward's atomic
+    accumulation); with these XLA flags the all-reduce's network phase is
+    scheduled asynchronously against the still-running blend backward of
+    the next microbatch instead of serializing after it. This is the
+    compiler-scheduled spelling of SURVEY §2.8's "overlap the gradient
+    collective with the blend" — on XLA one does not hand-place the
+    overlap, one frees the scheduler to find it (scaling-book recipe).
+    """
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    for f in ASYNC_COLLECTIVE_FLAGS.split():
+        if f.split("=")[0] not in flags:
+            flags = (flags + " " + f).strip()
+    os.environ["XLA_FLAGS"] = flags
+
+
 def host_local_to_global(mesh: Mesh, axis: str, tree):
     """Assemble globally-sharded batch arrays from per-process local shards.
 
