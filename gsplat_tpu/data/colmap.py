@@ -191,21 +191,51 @@ def load_colmap(
     cameras, images, names = [], [], []
     centers = []
     depths, depth_qsteps, sky_masks = [], [], []
+
+    # Native threaded decode+resize (C++ libjpeg/libpng + Lanczos-3; see
+    # gsplat_tpu/native) when the library builds; PIL otherwise / on opt-out.
+    use_native = os.environ.get("GSPLAT_NATIVE_IO", "1") != "0"
+    if use_native:
+        from .. import native
+
+        use_native = native.available()
+
+    kept, sizes, paths = [], [], []
     for e in entries:
         img_path = os.path.join(img_dir, e["name"])
         if not os.path.exists(img_path):
             continue
-        with Image.open(img_path) as im:
-            im = im.convert("RGB")
+        with Image.open(img_path) as im:  # header-only size probe
             w0, h0 = im.size
-            cam = cams_bin[e["camera_id"]]
-            # If images/ holds full-res but scale > 1, downscale now.
-            ds = cam["width"] / w0
-            w = round_up16(round(w0 / (scale / ds))) if ds < scale else round_up16(w0)
-            h = round_up16(round(h0 / (scale / ds))) if ds < scale else round_up16(h0)
-            if (w, h) != (w0, h0):
-                im = im.resize((w, h), Image.LANCZOS)
-            arr = np.asarray(im, np.float32) / 255.0
+        cam = cams_bin[e["camera_id"]]
+        # If images/ holds full-res but scale > 1, downscale now.
+        ds = cam["width"] / w0
+        w = round_up16(round(w0 / (scale / ds))) if ds < scale else round_up16(w0)
+        h = round_up16(round(h0 / (scale / ds))) if ds < scale else round_up16(h0)
+        kept.append((e, w0, h0))
+        sizes.append((w, h))
+        paths.append(img_path)
+
+    arrs = None
+    if use_native and paths:
+        from .. import native
+
+        try:
+            arrs = native.decode_batch(paths, sizes)
+        except IOError:
+            arrs = None  # unsupported codec somewhere: PIL fallback
+
+    for i, (e, w0, h0) in enumerate(kept):
+        w, h = sizes[i]
+        cam = cams_bin[e["camera_id"]]
+        if arrs is not None:
+            arr = arrs[i]
+        else:
+            with Image.open(paths[i]) as im:
+                im = im.convert("RGB")
+                if (w, h) != (w0, h0):
+                    im = im.resize((w, h), Image.LANCZOS)
+                arr = np.asarray(im, np.float32) / 255.0
 
         fx, fy, cx, cy = _intrinsics(cam)
         sx, sy = w / cam["width"], h / cam["height"]

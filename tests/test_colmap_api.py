@@ -386,3 +386,79 @@ def test_training_viewer_live(tmp_path):
     saved = _json.loads(tv.handle("/save", {})[2])
     assert saved["step"] >= 24 and os.path.exists(saved["path"])
     tv.stop()
+
+
+def test_native_io_matches_python(tmp_path, rng):
+    """The C++ IO runtime (gsplat_tpu/native): COLMAP parsers must equal the
+    pure-Python parsers exactly; the threaded libjpeg/libpng + Lanczos-3
+    decode must track PIL's LANCZOS closely; and load_colmap through the
+    native path must produce the same dataset geometry."""
+    from gsplat_tpu import native
+
+    assert native.available(), native.build_error()
+
+    root = str(tmp_path / "scene")
+    ds = make_synthetic_dataset(n_points=80, n_views=5, width=48, height=48)
+    write_colmap_scene(root, ds)
+
+    from gsplat_tpu.data import colmap as pyc
+
+    sparse = os.path.join(root, "sparse", "0")
+    cams_py = pyc.read_cameras_bin(os.path.join(sparse, "cameras.bin"))
+    cams_c = native.read_cameras_bin(os.path.join(sparse, "cameras.bin"))
+    assert cams_py.keys() == cams_c.keys()
+    for k in cams_py:
+        assert cams_py[k]["model"] == cams_c[k]["model"]
+        assert cams_py[k]["width"] == cams_c[k]["width"]
+        np.testing.assert_array_equal(cams_py[k]["params"], cams_c[k]["params"])
+
+    ims_py = pyc.read_images_bin(os.path.join(sparse, "images.bin"))
+    ims_c = native.read_images_bin(os.path.join(sparse, "images.bin"))
+    assert ims_py.keys() == ims_c.keys()
+    for k in ims_py:
+        assert ims_py[k]["name"] == ims_c[k]["name"]
+        assert ims_py[k]["camera_id"] == ims_c[k]["camera_id"]
+        np.testing.assert_array_equal(ims_py[k]["qvec"], ims_c[k]["qvec"])
+        np.testing.assert_array_equal(ims_py[k]["tvec"], ims_c[k]["tvec"])
+
+    xyz_py, rgb_py = pyc.read_points3d_bin(os.path.join(sparse, "points3D.bin"))
+    xyz_c, rgb_c = native.read_points3d_bin(os.path.join(sparse, "points3D.bin"))
+    np.testing.assert_array_equal(xyz_py, xyz_c)
+    np.testing.assert_array_equal(rgb_py, rgb_c)
+
+    # Image decode + resize: PNG decode is lossless, so same-size must be
+    # exact; resized must track PIL LANCZOS closely (different fixed-point).
+    img_path = os.path.join(root, "images", ds.names[0])
+    from PIL import Image
+
+    with Image.open(img_path) as im:
+        w0, h0 = im.size
+        ref_same = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        ref_small = (
+            np.asarray(im.convert("RGB").resize((32, 32), Image.LANCZOS), np.float32)
+            / 255.0
+        )
+    got_same = native.decode_resize(img_path, w0, h0)
+    np.testing.assert_array_equal(got_same, ref_same)
+    got_small = native.decode_resize(img_path, 32, 32)
+    assert np.abs(got_small - ref_small).mean() < 2e-3
+    assert np.abs(got_small - ref_small).max() < 0.08
+
+    # Batch path == single path, threaded.
+    outs = native.decode_batch([img_path, img_path], [(32, 32), (w0, h0)], n_threads=2)
+    np.testing.assert_array_equal(outs[0], got_small)
+    np.testing.assert_array_equal(outs[1], got_same)
+
+    # Whole-dataset equivalence through load_colmap.
+    import gsplat_tpu.data.colmap as colmap_mod
+
+    ds_native = colmap_mod.load_colmap(root, scale=1, holdout=0)
+    os.environ["GSPLAT_NATIVE_IO"] = "0"
+    try:
+        ds_py = colmap_mod.load_colmap(root, scale=1, holdout=0)
+    finally:
+        os.environ.pop("GSPLAT_NATIVE_IO")
+    assert ds_native.names == ds_py.names
+    np.testing.assert_array_equal(ds_native.points, ds_py.points)
+    for a, b in zip(ds_native.images, ds_py.images):
+        assert np.abs(a - b).max() < 1e-6  # same size: lossless decode
