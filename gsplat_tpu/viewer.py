@@ -80,6 +80,8 @@ body { margin:0; background:#111; color:#ddd; font:13px monospace; overflow:hidd
     <button id="btnstart">start</button>
     <button id="btnstop">stop</button>
     <button id="btnsave">save checkpoint</button>
+    <button id="btndensify">densify on/off</button>
+    <button id="btnexport">export PLY</button>
   </div>
   <h3>loss curves (log10)</h3>
   <canvas id="curves" width="318" height="200"></canvas>
@@ -231,6 +233,22 @@ img.onmousedown=e=>{
 img.onclick=e=>{
   if(drag===null&&!fpv){const i=pickFrustum(e.clientX,e.clientY);if(i>=0)jumpToCam(i);}
 };
+img.ondblclick=async e=>{
+  // Orbit-target picking via a depth render (reference handle_pick!).
+  if(fpv||!img.naturalWidth) return;
+  const s=Math.min(ov.width/img.naturalWidth, ov.height/img.naturalHeight);
+  const ox=(ov.width-img.naturalWidth*s)/2, oy=(ov.height-img.naturalHeight*s)/2;
+  const px=(e.clientX-ox)/(img.naturalWidth*s), py=(e.clientY-oy)/(img.naturalHeight*s);
+  if(px<0||px>1||py<0||py>1) return;
+  const p=pose();
+  const q=`ex=${p.eye[0]}&ey=${p.eye[1]}&ez=${p.eye[2]}`+
+          `&tx=${p.target[0]}&ty=${p.target[1]}&tz=${p.target[2]}&px=${px}&py=${py}`;
+  const r=await (await fetch('/pick?'+q)).json();
+  if(r.point){
+    dist=Math.hypot(r.point[0]-p.eye[0],r.point[1]-p.eye[1],r.point[2]-p.eye[2]);
+    tgt=r.point; dirty=true;
+  }
+};
 window.onmouseup=()=>{setTimeout(()=>drag=null,0);};
 window.onmousemove=e=>{
   if(fpv&&document.pointerLockElement===img){
@@ -299,6 +317,13 @@ function drawCurves(h){
     `<span style="color:${TERM_COLORS[t]||'#999'}">${t}</span>`).join('');
 }
 document.getElementById('btnstart').onclick=()=>fetch('/train?cmd=start');
+document.getElementById('btndensify').onclick=async()=>{
+  const i=await (await fetch('/info')).json();
+  fetch('/train?cmd=densify&on='+(i.densify?0:1));
+};
+document.getElementById('btnexport').onclick=async()=>{
+  const r=await (await fetch('/export')).json(); alert('exported '+r.path);
+};
 document.getElementById('btnstop').onclick=()=>fetch('/train?cmd=stop');
 document.getElementById('btnsave').onclick=async()=>{
   const r=await (await fetch('/save')).json(); alert('saved '+r.path);
@@ -381,6 +406,39 @@ class Viewer:
         Image.fromarray(arr).save(buf, "JPEG", quality=90)
         return buf.getvalue()
 
+    def pick_point(self, eye, target, px: float, py: float):
+        """Un-project the clicked pixel to a world point using a depth
+        render — the reference's double-click orbit-target picking
+        (gui/worker.jl handle_pick!, :688-726). Returns None when the click
+        hits empty space (transmittance ~1)."""
+        from .camera import look_at
+
+        R, t = look_at(np.asarray(eye), np.asarray(target))
+        cam = self.base_camera.replace(
+            R=R, t=t, width=self.config.width, height=self.config.height
+        )
+        import dataclasses
+
+        cfg = dataclasses.replace(self.config, mode="rgbd")
+        with self._lock:
+            model = self._current_model()
+            img, _aux = render(
+                *model.render_args(), camera=cam, config=cfg,
+                sh_degree=model.max_sh_degree,
+            )
+            x = int(np.clip(px * cfg.width, 0, cfg.width - 1))
+            y = int(np.clip(py * cfg.height, 0, cfg.height - 1))
+            depth = float(np.asarray(img[y, x, 3]))
+        if not np.isfinite(depth) or depth <= 1e-6:
+            return None
+        # Pixel ray in camera space (+z forward, y down), scaled to depth.
+        fx, fy = float(cam.focal[0]), float(cam.focal[1])
+        cx, cy = cfg.width * float(cam.principal[0]), cfg.height * float(cam.principal[1])
+        pc = np.array([(x - cx) / fx * depth, (y - cy) / fy * depth, depth])
+        Rw = np.asarray(R)
+        world = Rw.T @ (pc - np.asarray(t))
+        return [float(v) for v in world]
+
     # ------------------------------------------------------------- metadata
     def info(self) -> dict:
         return {
@@ -442,6 +500,20 @@ class Viewer:
             return 200, "application/json", json.dumps(self.frustums()).encode()
         if path == "/thumb" and self.dataset is not None:
             return 200, "image/jpeg", self.thumbnail(int(q.get("i", 0)))
+        if path == "/pick":
+            eye = [q.get("ex", 5.0), q.get("ey", 1.0), q.get("ez", 0.0)]
+            tgt = [q.get("tx", 0.0), q.get("ty", 0.0), q.get("tz", 0.0)]
+            pt = self.pick_point(eye, tgt, float(q.get("px", 0.5)), float(q.get("py", 0.5)))
+            return 200, "application/json", json.dumps({"point": pt}).encode()
+        if path == "/export":
+            from .models.gaussians import export_ply
+
+            out = os.path.join(
+                getattr(self, "out_dir", "."), "viewer_export.ply"
+            )
+            with self._lock:
+                export_ply(self._current_model(), out)
+            return 200, "application/json", json.dumps({"path": out}).encode()
         return None
 
     def serve(self, port: int = 8000, host: str = "127.0.0.1"):
@@ -508,6 +580,7 @@ class TrainingViewer(Viewer):
         self.out_dir = out_dir
         self._run = threading.Event()
         self._shutdown = threading.Event()
+        self._saved_strategy = None
         self._worker = threading.Thread(target=self._train_loop, daemon=True)
         self._worker.start()
 
@@ -551,6 +624,7 @@ class TrainingViewer(Viewer):
             "loss": float(sm.get("total", 0.0)),
             "steps_per_s": round(steps_per_s, 2),
             "max_steps": self.max_steps,
+            "densify": self.trainer.strategy is not None,
         })
         return d
 
@@ -564,6 +638,16 @@ class TrainingViewer(Viewer):
                 self._run.set()
             elif cmd == "stop":
                 self._run.clear()
+            elif cmd == "densify":
+                # The reference worker's densify atomic flag: commands drain
+                # between bursts, so swapping the strategy out/in is safe.
+                on = int(q.get("on", 1))
+                if on and self._saved_strategy is not None:
+                    self.trainer.strategy = self._saved_strategy
+                    self._saved_strategy = None
+                elif not on and self.trainer.strategy is not None:
+                    self._saved_strategy = self.trainer.strategy
+                    self.trainer.strategy = None
             return 200, "application/json", json.dumps(self.info()).encode()
         if path == "/losses":
             snap = self.trainer.losses.history.snapshot()

@@ -462,3 +462,33 @@ def test_native_io_matches_python(tmp_path, rng):
     np.testing.assert_array_equal(ds_native.points, ds_py.points)
     for a, b in zip(ds_native.images, ds_py.images):
         assert np.abs(a - b).max() < 1e-6  # same size: lossless decode
+
+
+def test_viewer_pick_and_export(tmp_path):
+    """Depth-render orbit picking (reference handle_pick!) and PLY export
+    through the viewer routes."""
+    import json as _json
+
+    from gsplat_tpu.data.colmap import make_synthetic_dataset
+    from gsplat_tpu.models.gaussians import GaussianModel, import_ply
+    from gsplat_tpu.viewer import Viewer
+
+    ds = make_synthetic_dataset(n_points=60, n_views=3, width=48, height=48)
+    model = GaussianModel.create(ds.points, ds.colors, ds.scales, max_sh_degree=0)
+    v = Viewer(model, width=64, height=64, max_instances=4096, dataset=ds)
+    v.out_dir = str(tmp_path)
+    code, _, body = v.handle("/pick", {
+        "ex": 5.0, "ey": 1.0, "ez": 0.0, "tx": 0.0, "ty": 0.0, "tz": 0.0,
+        "px": 0.5, "py": 0.5,
+    })
+    pt = _json.loads(body)["point"]
+    assert pt is not None and len(pt) == 3
+    # The picked point must sit between the eye and the far side of the cloud.
+    d = np.linalg.norm(np.array(pt) - np.array([5.0, 1.0, 0.0]))
+    assert 0.5 < d < 20.0, (pt, d)
+
+    code, _, body = v.handle("/export", {})
+    path = _json.loads(body)["path"]
+    assert os.path.exists(path)
+    m = import_ply(path)
+    assert int(m.n_alive) == 60
