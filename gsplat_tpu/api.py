@@ -126,21 +126,47 @@ def benchmark(
     eval_steps: tuple = (7_000, 30_000),
     holdout: int = 8,
     seed: int = 0,
+    autosave_every: int = 0,
+    work_dir: str | None = None,
 ):
     """The evaluation protocol (reference benchmark,
     GaussianSplatting.jl:260-359): fixed seed per config, max_extent=inf,
-    quantized metrics at the eval steps, per-step timing; extensions off."""
+    quantized metrics at the eval steps, per-step timing; extensions off.
+
+    `autosave_every` > 0 makes long runs crash-resumable: step-suffixed
+    checkpoints land in `work_dir` and a rerun resumes each config from its
+    latest autosave (schedule state restored via Trainer.from_checkpoint)."""
+    import glob
+
     scale = scale or standard_scale(dataset_path)
     dataset = load_colmap(
         dataset_path, scale=scale, holdout=holdout, max_extent=float("inf")
     )
+    work_dir = work_dir or dataset_path
     results = []
     for strat in strategies:
-        trainer = _build_trainer(dataset, reference_opt_params(), strat, seed=seed)
-        t_train = 0.0
+        trainer = None
         done = 0
+        if autosave_every:
+            saves = sorted(glob.glob(os.path.join(work_dir, f"bench_{strat}-*.safetensors")))
+            if saves:
+                trainer = Trainer.from_checkpoint(
+                    saves[-1], dataset,
+                    opt_params=reference_opt_params(),
+                    strategy=create_strategy(strat, seed=seed),
+                    max_instances=1 << 21 if jax.default_backend() == "tpu" else 1 << 16,
+                    seed=seed,
+                )
+                done = int(trainer.state.step)
+                print(f"  resumed {strat} from {saves[-1]} @ step {done}", flush=True)
+        if trainer is None:
+            trainer = _build_trainer(dataset, reference_opt_params(), strat, seed=seed)
+        if autosave_every:
+            trainer.autosave_every = autosave_every
+            trainer.autosave_path = os.path.join(work_dir, f"bench_{strat}.safetensors")
+        t_train = 0.0
         for target in sorted(set(eval_steps) | {n_steps}):
-            if target > n_steps:
+            if target > n_steps or target <= done:
                 continue
             t0 = time.perf_counter()
             trainer.train(target - done)

@@ -1194,6 +1194,22 @@ class Trainer:
         except Exception as e:  # forensics must never mask the original error
             return f"(forensics failed: {e})"
 
+    @classmethod
+    def from_checkpoint(cls, path: str, dataset, *, capacity: int | None = None, **kw):
+        """Resume a Trainer from a checkpoint: exact model/Adam/step state,
+        with the schedule-derived host state (SH ramp position) restored —
+        a fresh Trainer would restart sh_degree at 0 and re-ramp."""
+        from ..io.checkpoint import load_checkpoint
+
+        state, _cam, _meta = load_checkpoint(path, capacity=capacity)
+        trainer = cls(state.model, dataset, **kw)
+        trainer.state = state
+        step = int(state.step)
+        trainer.sh_degree = min(
+            step // trainer.sh_ramp_every, state.model.max_sh_degree
+        )
+        return trainer
+
     def _maybe_autosave(self):
         """Periodic checkpoint with step-suffixed filename; self-disables on
         failure (reference gui/worker.jl:323-357)."""

@@ -492,3 +492,43 @@ def test_viewer_pick_and_export(tmp_path):
     assert os.path.exists(path)
     m = import_ply(path)
     assert int(m.n_alive) == 60
+
+
+def test_benchmark_autosave_resume(colmap_scene, tmp_path, monkeypatch):
+    """A crashed benchmark() run resumes from its latest autosave: the
+    second invocation picks up the step counter, skips completed eval
+    targets, and restores the SH ramp position (Trainer.from_checkpoint)."""
+    from gsplat_tpu.api import benchmark
+
+    root, _ = colmap_scene
+    wd = str(tmp_path)
+    r1 = benchmark(
+        root, scale=1, strategies=("default",), n_steps=8, eval_steps=(8,),
+        holdout=4, autosave_every=4, work_dir=wd,
+    )
+    saves = [f for f in os.listdir(wd) if f.startswith("bench_default-")]
+    assert saves, os.listdir(wd)
+    r2 = benchmark(
+        root, scale=1, strategies=("default",), n_steps=12, eval_steps=(8, 12),
+        holdout=4, autosave_every=4, work_dir=wd,
+    )
+    # Resumed run evaluates only the NEW target (8 was <= resume step).
+    assert [r["step"] for r in r2] == [12]
+
+
+def test_trainer_from_checkpoint_restores_sh_ramp(tmp_path):
+    from gsplat_tpu.data.colmap import make_synthetic_dataset
+    from gsplat_tpu.io.checkpoint import save_checkpoint
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.train.trainer import Trainer
+
+    ds = make_synthetic_dataset(n_points=50, n_views=3, width=48, height=48)
+    model = GaussianModel.create(ds.points, ds.colors, ds.scales, max_sh_degree=3)
+    tr = Trainer(model, ds, max_instances=4096, sh_ramp_every=2)
+    tr.train(5)
+    assert tr.sh_degree == 2
+    path = str(tmp_path / "ck.safetensors")
+    save_checkpoint(path, tr.state)
+    tr2 = Trainer.from_checkpoint(path, ds, max_instances=4096, sh_ramp_every=2)
+    assert int(tr2.state.step) == 5
+    assert tr2.sh_degree == 2, "SH ramp position must survive resume"
