@@ -58,7 +58,11 @@ def main():
         )
 
     model = GaussianModel.create(pts, cols, scales, max_sh_degree=3)
-    max_instances = int(os.environ.get("BENCH_MAX_INSTANCES", max(4 * n, 1 << 16)))
+    # Default: let the Trainer's overflow-growth fit the budget to the
+    # scene's observed demand (costs scale with the budget; a fixed 4N
+    # budget over-provisions ~50%). BENCH_MAX_INSTANCES pins it instead.
+    max_instances = int(os.environ.get("BENCH_MAX_INSTANCES", 0)) or (1 << 16)
+    gt_budget = max(4 * n, 1 << 19)
 
     # Ground-truth targets are RENDERS of the scene itself (not noise):
     # training then exercises the instance/occupancy distribution of a real
@@ -69,7 +73,7 @@ def main():
 
     gt_cfg = RasterizerConfig(
         width=WIDTH, height=HEIGHT, mode="rgb",
-        max_instances=max_instances, impl="pallas",
+        max_instances=gt_budget, impl="pallas",
     )
     gt_fwd = jax.jit(
         lambda args, cam: render(*args, camera=cam, config=gt_cfg, sh_degree=3)[0]
@@ -90,7 +94,7 @@ def main():
 
         cfg = RasterizerConfig(
             width=WIDTH, height=HEIGHT, mode="rgb",
-            max_instances=max_instances, impl="pallas",
+            max_instances=gt_budget, impl="pallas",
         )
         fwd = jax.jit(
             lambda args, cam: render(*args, camera=cam, config=cfg, sh_degree=3)[0]
@@ -113,8 +117,9 @@ def main():
 
     trainer = Trainer(model, dataset, max_instances=max_instances)
 
-    # Warmup / compile (at the steady-state chunk size).
-    trainer.train(2 * trainer.chunk_steps)
+    # Warmup / compile (at the steady-state chunk size); overflow growth
+    # during warmup fits the budget to demand before the timed window.
+    trainer.train(4 * trainer.chunk_steps)
 
     t0 = time.perf_counter()
     trainer.train(STEPS)
