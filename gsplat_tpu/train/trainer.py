@@ -809,15 +809,17 @@ class Trainer:
 
     @staticmethod
     def _fit_budget(demand: int) -> int:
-        """Snap demand + 25% headroom UP to a ~1.19x geometric grid of
-        budgets (4 steps per octave, 1024-aligned). The exact chunk-aligned
+        """Snap demand + 12.5% headroom UP to a ~1.09x geometric grid of
+        budgets (8 steps per octave, 1024-aligned). The exact chunk-aligned
         demand is known (packed metric col 13), so the budget can be fitted
         rather than doubled; the geometric grid keeps the set of distinct
-        compiled configs small as demand drifts during densification."""
-        target = demand * 5 // 4
+        compiled configs small as demand drifts during densification, and
+        binning/gather/blend costs all scale with the budget, so headroom
+        is priced in milliseconds."""
+        target = demand * 9 // 8
         b = 1 << 16
         while b < target:
-            b = -(-(b * 19) // (16 * 1024)) * 1024
+            b = -(-(b * 35) // (32 * 1024)) * 1024
         return b
 
     def _grow_budget(self, near_step: int, demand: int = 0):
