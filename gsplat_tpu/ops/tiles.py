@@ -152,7 +152,13 @@ def build_instances(
         jnp.where(pad_counts > 0, PAD_BASE + tid1, 0),
     ])
     markers = jnp.zeros((I_pad,), jnp.int32).at[idx].max(val, mode="drop")
-    owner = jax.lax.cummax(markers)  # (I_pad,)
+    if jax.default_backend() == "tpu" and I_pad % 1024 == 0:
+        # Streaming Pallas scan (~4x the XLA shifted-max lowering at 380k).
+        from .cummax_pallas import cummax_pallas
+
+        owner = cummax_pallas(markers)  # (I_pad,)
+    else:
+        owner = jax.lax.cummax(markers)  # (I_pad,)
 
     slot = jnp.arange(I_pad, dtype=jnp.int32)
     is_pad = slot >= total

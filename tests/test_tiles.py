@@ -229,3 +229,20 @@ def test_sort_image_equivalence_vs_exact_two_key(rng):
     dT = np.abs(np.asarray(T_u32) - np.asarray(T_ex))
     assert dc.max() < 1e-5, f"max color diff {dc.max()}"
     assert dT.max() < 1e-5, f"max transmittance diff {dT.max()}"
+
+
+def test_cummax_pallas_matches_lax(rng):
+    """The streaming Pallas scan (ops/cummax_pallas.py) must equal
+    lax.cummax exactly — it replaces it inside build_instances on TPU."""
+    import jax
+
+    from gsplat_tpu.ops.cummax_pallas import cummax_pallas
+
+    for n, density in ((1024, 0.9), (8192, 0.02), (1024 * 37, 0.3)):
+        x = np.zeros(n, np.int32)
+        pos = np.sort(rng.choice(n, max(1, int(n * density)), replace=False))
+        x[pos] = rng.integers(1, 1 << 30, len(pos))
+        # Monotone variant too (the shape build_instances produces).
+        for vals in (x, np.sort(x)):
+            out = np.asarray(cummax_pallas(jnp.asarray(vals)))
+            np.testing.assert_array_equal(out, np.maximum.accumulate(vals))
