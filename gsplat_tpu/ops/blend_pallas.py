@@ -256,7 +256,121 @@ def _fwd_kernel(
     out_ref[0, n_feat + 2 :, :] = jnp.zeros((OUT_ROWS - n_feat - 2, P), jnp.float32)
 
 
-def _blend_fwd_impl(inst, tile_start, tile_count, *, grid_wh, n_feat, tile_ids=None):
+def _fwd_kernel_tb(
+    tile_ids_ref,  # (T_pad,) i32 scalar prefetch
+    tile_start_ref,
+    tile_count_ref,
+    inst_ref,  # (F_PAD, I_pad) ANY
+    out_ref,  # (TB, OUT_ROWS, P)
+    slab_ref,  # VMEM (2, TB, F_PAD, CHUNK)
+    dma_sem,  # DMA sems (2, TB)
+    *,
+    gx: int,
+    n_feat: int,
+    i_pad: int,
+    tb: int,
+):
+    """Forward blend with TB tiles per grid step: amortizes the ~0.7 us
+    per-grid-step fixed cost (benchmark/micro5.py) over TB tiles. The chunk
+    loop runs to the MAX chunk count of the batch; tiles that ran out mark
+    themselves done so early exit still fires."""
+    t = pl.program_id(0)
+    max_off = i_pad - CHUNK
+    starts = [tile_start_ref[t * tb + b] for b in range(tb)]
+    counts = [tile_count_ref[t * tb + b] for b in range(tb)]
+    ncs = [pl.cdiv(c, jnp.int32(CHUNK)) for c in counts]
+    nc = functools.reduce(jnp.maximum, ncs)
+    coords = [_pixel_coords(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
+    tri_incl = _tri(CHUNK, lambda r, c: r <= c)
+    rank1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
+
+    def get_dma(j, slot, b):
+        off = jnp.clip(starts[b] + j * CHUNK, 0, max_off)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+            slab_ref.at[slot, b],
+            dma_sem.at[slot, b],
+        )
+
+    for b in range(tb):
+        get_dma(0, 0, b).start()
+
+    def cond(carry):
+        j, _color, _logT, done, _contrib = carry
+        return (j < nc) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        j, color, logT, done, contrib = carry
+        slot = j % jnp.int32(2)
+        for b in range(tb):
+            get_dma(j + 1, 1 - slot, b).start()
+        for b in range(tb):
+            get_dma(j, slot, b).wait()
+
+        new_color, new_logT, new_done, new_contrib = [], [], [], []
+        for b in range(tb):
+            slab = slab_ref[slot, b]  # (F_PAD, CHUNK)
+            px, py = coords[b]
+            alpha, _opG, _keep, _dx, _dy = _chunk_alpha(slab, px, py)
+            in_count = rank1 + j * CHUNK <= counts[b]
+            alpha = jnp.where(in_count, alpha, 0.0)
+
+            log1m = jnp.log1p(-alpha)
+            s_incl = _mm(log1m, tri_incl)
+            logT_b = logT[b]
+            logT_incl = logT_b + s_incl
+            alive = alpha > 0.0
+            include = alive & (logT_incl >= LOG_T_EPS) & (done[b] < 0.5)
+            T_before = jnp.exp(logT_b + (s_incl - log1m))
+            w = jnp.where(include, alpha * T_before, 0.0)
+
+            feat = slab[ROW_FEAT : ROW_FEAT + n_feat, :]
+            c_add = jax.lax.dot_general(
+                feat, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            new_color.append(color[b] + c_add)
+            new_contrib.append(jnp.maximum(
+                contrib[b],
+                jnp.max(jnp.where(include, j * CHUNK + rank1, 0), axis=1, keepdims=True),
+            ))
+            term = (alive & (logT_incl < LOG_T_EPS)).astype(jnp.float32)
+            # Out of chunks for this tile -> done (keeps early exit live).
+            term = jnp.maximum(term, (j + 1 >= ncs[b]).astype(jnp.float32))
+            new_done.append(jnp.maximum(done[b], jnp.max(term, axis=1, keepdims=True)))
+            new_logT.append(
+                logT_b + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
+            )
+        return (
+            j + 1,
+            jnp.stack(new_color),
+            jnp.stack(new_logT),
+            jnp.stack(new_done),
+            jnp.stack(new_contrib),
+        )
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((tb, n_feat, P), jnp.float32),
+        jnp.zeros((tb, P, 1), jnp.float32),
+        jnp.zeros((tb, P, 1), jnp.float32),
+        jnp.zeros((tb, P, 1), jnp.int32),
+    )
+    j_end, color, logT, done, contrib = jax.lax.while_loop(cond, body, init)
+    for b in range(tb):
+        get_dma(j_end, j_end % jnp.int32(2), b).wait()
+
+    for b in range(tb):
+        out_ref[b, 0:n_feat, :] = color[b]
+        out_ref[b, n_feat : n_feat + 1, :] = jnp.exp(logT[b]).T
+        out_ref[b, n_feat + 1 : n_feat + 2, :] = contrib[b].astype(jnp.float32).T
+        out_ref[b, n_feat + 2 :, :] = jnp.zeros((OUT_ROWS - n_feat - 2, P), jnp.float32)
+
+
+def _blend_fwd_impl(
+    inst, tile_start, tile_count, *, grid_wh, n_feat, tile_ids=None, tiles_per_step=1
+):
     gx, gy = grid_wh
     n_tiles = tile_start.shape[0]
     if tile_ids is None:
@@ -264,26 +378,53 @@ def _blend_fwd_impl(inst, tile_start, tile_count, *, grid_wh, n_feat, tile_ids=N
     i_pad = inst.shape[0]
     inst = _repack_to_kernel(inst)  # (F_PAD, I_pad), compact
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(
+    tb = max(1, tiles_per_step)
+    padt = (-n_tiles) % tb
+    if padt:
+        tile_start = jnp.pad(tile_start, (0, padt))
+        tile_count = jnp.pad(tile_count, (0, padt))  # dummy tiles: count 0
+        tile_ids = jnp.concatenate(
+            [tile_ids, jnp.zeros((padt,), jnp.int32)]
+        )
+    t_pad = n_tiles + padt
+
+    if tb == 1:
+        kernel = functools.partial(_fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad)
+        out_spec = pl.BlockSpec(
             (1, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
+        )
+        scratch = [
             pltpu.VMEM((2, F_PAD, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+    else:
+        kernel = functools.partial(
+            _fwd_kernel_tb, gx=gx, n_feat=n_feat, i_pad=i_pad, tb=tb
+        )
+        out_spec = pl.BlockSpec(
+            (tb, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [
+            pltpu.VMEM((2, tb, F_PAD, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, tb)),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_pad // tb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
     )
     packed = pl.pallas_call(
-        functools.partial(_fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, OUT_ROWS, P), jnp.float32),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t_pad, OUT_ROWS, P), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(tile_ids, tile_start, tile_count, inst)
 
+    packed = packed[:n_tiles]
     color = packed[:, :n_feat, :].transpose(0, 2, 1)  # (T, P, C)
     T_final = packed[:, n_feat, :]  # (T, P)
     n_contrib = packed[:, n_feat + 1, :].astype(jnp.int32)
@@ -478,23 +619,25 @@ def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat, til
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _blend(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _blend(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk, tiles_per_step):
     return _blend_fwd_impl(
-        inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat, tile_ids=tile_ids
+        inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat,
+        tile_ids=tile_ids, tiles_per_step=tiles_per_step,
     )
 
 
-def _vjp_fwd(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk):
+def _vjp_fwd(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk, tiles_per_step):
     color, T_final, n_contrib = _blend_fwd_impl(
-        inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat, tile_ids=tile_ids
+        inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat,
+        tile_ids=tile_ids, tiles_per_step=tiles_per_step,
     )
     return (color, T_final, n_contrib), (
         inst, tile_start, tile_count, tile_ids, T_final, n_contrib
     )
 
 
-def _vjp_bwd(grid_wh, n_feat, chunk, res, g):
+def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, res, g):
     inst, tile_start, tile_count, tile_ids, T_final, n_contrib = res
     g_color, g_T, _g_contrib = g
     n_tiles = T_final.shape[0]
@@ -535,20 +678,36 @@ def _vjp_bwd(grid_wh, n_feat, chunk, res, g):
 _blend.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-_blend_jit = jax.jit(_blend, static_argnums=(4, 5, 6))
+_blend_jit = jax.jit(_blend, static_argnums=(4, 5, 6, 7))
+
+# Forward tiles-per-grid-step batching: amortizes the per-grid-step fixed
+# cost (micro5: ~0.7 us/tile). Default 1 until validated on real hardware;
+# override per-call or via GSPLAT_BLEND_TB.
+DEFAULT_TILES_PER_STEP = 1
 
 
-def blend_pallas(inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK, tile_ids=None):
+def blend_pallas(
+    inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK,
+    tile_ids=None, tiles_per_step=None,
+):
     """Composite all tiles; inst is (I_pad, F_PAD). Same contract as blend_scan:
     returns (color (T,P,C), T_final (T,P), n_contrib (T,P) int32).
 
     Jitted even when called eagerly: XLA must materialize the boundary
     transpose into the kernel's compact (F_PAD, I_pad) layout.
     """
+    import os
+
     assert chunk == CHUNK, "Pallas blend is specialized to CHUNK=128 slabs."
+    if tiles_per_step is None:
+        tiles_per_step = int(
+            os.environ.get("GSPLAT_BLEND_TB", DEFAULT_TILES_PER_STEP)
+        )
     rem = (-inst.shape[0]) % _REPACK_BLOCK
     if rem:  # repack kernels need a multiple of the (1024, F) block
         inst = jnp.pad(inst, ((0, rem), (0, 0)))
     if tile_ids is None:
         tile_ids = jnp.arange(tile_start.shape[0], dtype=jnp.int32)
-    return _blend_jit(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk)
+    return _blend_jit(
+        inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk, tiles_per_step
+    )

@@ -84,3 +84,40 @@ def test_pallas_empty_tiles(rng):
     np.testing.assert_allclose(np.asarray(T_p)[1], 1.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+@pytest.mark.parametrize("tb", [2, 4])
+def test_pallas_forward_tiles_per_step(rng, tb):
+    """The tile-batched forward (TB tiles per grid step, incl. a grid that
+    does NOT divide TB) must match the scan spec exactly like TB=1."""
+    grid = (3, 2)  # 6 tiles; tb=4 forces dummy-tile padding
+    n_feat = 3
+    inst, starts, counts = make_instances(rng, grid, 500, n_feat, CHUNK)
+    args = (jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts))
+    c_p, T_p, n_p = blend_pallas(
+        *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK, tiles_per_step=tb
+    )
+    c_s, T_s, n_s = blend_scan(*args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_s), rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+def test_pallas_gradients_with_tiles_per_step(rng):
+    """Gradients flow through the batched forward (backward stays per-tile);
+    must equal the TB=1 gradients."""
+    grid = (2, 2)
+    n_feat = 3
+    inst, starts, counts = make_instances(rng, grid, 300, n_feat, CHUNK)
+    args = (jnp.asarray(starts), jnp.asarray(counts))
+
+    def loss(i_, tb):
+        c, T, _ = blend_pallas(
+            jnp.asarray(i_), *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK,
+            tiles_per_step=tb,
+        )
+        return jnp.sum(c * c) + jnp.sum(T)
+
+    g1 = jax.grad(lambda i_: loss(i_, 1))(jnp.asarray(inst))
+    g2 = jax.grad(lambda i_: loss(i_, 2))(jnp.asarray(inst))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-7)
