@@ -440,6 +440,8 @@ def _bwd_kernel(
     tile_ids_ref,
     tile_start_ref,
     tile_count_ref,
+    tile_count_eff_ref,  # min(count, max_p n_contrib): replay stops where
+    #                      contributions stopped (forward early termination)
     inst_ref,  # (F_PAD, I_pad) ANY (kernel-side transposed table)
     gpack_ref,  # (1, OUT_ROWS, P): rows [g_color(C) | g_T | T_final | n_contrib]
     dinst_ref,  # (F_PAD, I_pad) ANY output
@@ -455,7 +457,12 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
-    nc = pl.cdiv(count, jnp.int32(CHUNK))
+    # Instances ranked past every pixel's n_contrib have zero cotangents
+    # (include is rank<=n_contrib per pixel) and zero effect on T, so the
+    # back-to-front replay starts at the last chunk that contributed; the
+    # skipped slots are zeroed by the caller's `owned` mask (render.jl's
+    # backward walks from the per-tile range end instead, render.jl:132).
+    nc = pl.cdiv(tile_count_eff_ref[t], jnp.int32(CHUNK))
     max_off = i_pad - CHUNK
 
     px, py = _pixel_coords(tile_ids_ref[t], gx)
@@ -580,7 +587,10 @@ def _bwd_kernel(
         out_dma(0, (nc - 1) % jnp.int32(2)).wait()
 
 
-def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat, tile_ids=None):
+def _blend_bwd_impl(
+    inst, tile_start, tile_count, tile_count_eff, gpack, *, grid_wh, n_feat,
+    tile_ids=None,
+):
     gx, gy = grid_wh
     n_tiles = tile_start.shape[0]
     if tile_ids is None:
@@ -589,7 +599,7 @@ def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat, til
     inst = _repack_to_kernel(inst)  # (F_PAD, I_pad), compact
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -611,7 +621,7 @@ def _blend_bwd_impl(inst, tile_start, tile_count, gpack, *, grid_wh, n_feat, til
             dimension_semantics=("arbitrary",), has_side_effects=True
         ),
         interpret=_interpret(),
-    )(tile_ids, tile_start, tile_count, inst, gpack)
+    )(tile_ids, tile_start, tile_count, tile_count_eff, inst, gpack)
 
 
 # ---------------------------------------------------------------------------
@@ -652,19 +662,23 @@ def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, res, g):
         ],
         axis=1,
     )
+    # Replay only up to the last contributing chunk of each tile: ranks past
+    # max_p n_contrib have zero cotangents (forward early termination), so
+    # the kernel skips them and the `owned` mask below zeroes their slots.
+    tile_count_eff = jnp.minimum(tile_count, jnp.max(n_contrib, axis=1))
     dinst = _repack_from_kernel(
         _blend_bwd_impl(
-            inst, tile_start, tile_count, gpack,
+            inst, tile_start, tile_count, tile_count_eff, gpack,
             grid_wh=grid_wh, n_feat=n_feat, tile_ids=tile_ids,
         )
     )
-    # Slots outside every processed tile's padded range are never written by
+    # Slots outside every processed tile's written range are never touched by
     # the kernel (their forward contribution is exactly zero): mask the
     # uninitialized garbage. Membership is a start/end difference array —
     # correct both for the single-device prefix layout and for tile-sharded
     # calls whose tiles sit at scattered global offsets.
     i_pad = inst.shape[0]
-    pcount = -(-tile_count // CHUNK) * CHUNK
+    pcount = -(-tile_count_eff // CHUNK) * CHUNK
     delta = (
         jnp.zeros((i_pad + 1,), jnp.int32)
         .at[jnp.clip(tile_start, 0, i_pad)].add(jnp.where(pcount > 0, 1, 0))

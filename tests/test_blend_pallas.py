@@ -121,3 +121,39 @@ def test_pallas_gradients_with_tiles_per_step(rng):
     g1 = jax.grad(lambda i_: loss(i_, 1))(jnp.asarray(inst))
     g2 = jax.grad(lambda i_: loss(i_, 2))(jnp.asarray(inst))
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-7)
+
+
+def test_pallas_bwd_early_exit_bound(rng):
+    """The backward replay starts at the last contributing chunk
+    (max_p n_contrib), skipping saturated-past chunks entirely; gradients for
+    skipped instances must be exactly zero and the rest must match the scan
+    oracle. Opacity near the 0.99 cap saturates tiles within the first chunk
+    of several."""
+    grid = (2, 1)
+    n_feat = 3
+    inst, starts, counts = make_instances(
+        rng, grid, 6 * CHUNK, n_feat, CHUNK, opacity_scale=50.0
+    )
+    args = (jnp.asarray(starts), jnp.asarray(counts))
+
+    def loss(fn, x):
+        color, T, _ = fn(x, *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK)
+        return jnp.sum(color * color) + jnp.sum(T)
+
+    _, _, n_contrib = blend_pallas(
+        jnp.asarray(inst), *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK
+    )
+    max_contrib = int(np.asarray(n_contrib).max(axis=1).max())
+    assert max_contrib < 5 * CHUNK, "saturation too weak to skip a chunk"
+
+    g_p = np.asarray(jax.grad(lambda x: loss(blend_pallas, x))(jnp.asarray(inst)))
+    g_s = np.asarray(jax.grad(lambda x: loss(blend_scan, x))(jnp.asarray(inst)))
+    assert np.all(np.isfinite(g_p))
+    scale = np.maximum(np.abs(g_s), 1e-3)
+    np.testing.assert_allclose(g_p / scale, g_s / scale, rtol=0, atol=5e-3)
+    # Instances past every pixel's n_contrib carry exactly zero gradient.
+    per_tile_max = np.asarray(n_contrib).max(axis=1)
+    for ti in range(2):
+        s, c = int(starts[ti]), int(counts[ti])
+        dead_from = s + int(per_tile_max[ti])
+        assert np.all(g_p[dead_from : s + c] == 0.0)
