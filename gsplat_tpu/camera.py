@@ -107,6 +107,26 @@ class Camera:
         t = -R @ c2w[:3, 3]
         return self.replace(R=R, t=t)
 
+    def shifted(self, relative) -> "Camera":
+        """Translate along the camera's local axes (GUI movement).
+
+        Functional version of reference `shift!` (src/camera.jl:136-139):
+        c2w translation += c2w rotation @ relative.
+        """
+        c2w = self.c2w
+        t_new = c2w[:3, 3] + c2w[:3, :3] @ jnp.asarray(relative, jnp.float32)
+        return self.with_c2w(jnp.concatenate([c2w[:3, :3], t_new[:, None]], axis=1))
+
+    def rotated(self, rotation) -> "Camera":
+        """Pre-rotate the camera's orientation (GUI look controls).
+
+        Functional version of reference `rotate!` (src/camera.jl:141-144):
+        c2w rotation = rotation @ c2w rotation.
+        """
+        c2w = self.c2w
+        R_new = jnp.asarray(rotation, jnp.float32) @ c2w[:3, :3]
+        return self.with_c2w(jnp.concatenate([R_new, c2w[:3, 3:4]], axis=1))
+
     def with_resolution(self, width: int, height: int) -> "Camera":
         """Rescale to a new resolution, keeping the field of view.
 

@@ -158,6 +158,24 @@ class ColmapDataset:
         vid = self.test_ids[i]
         return self.cameras[vid], self.images[vid]
 
+    def thumbnail(self, vid: int, max_width: int = 128) -> np.ndarray:
+        """View `vid` downscaled to at most `max_width` px wide, aspect kept,
+        as uint8 (h, w, 3) — the GUI frustum-overlay image planes
+        (reference thumbnail, dataset.jl:226-234)."""
+        img = self.images[vid]
+        h, w = img.shape[:2]
+        if w > max_width:
+            from PIL import Image
+
+            im = Image.fromarray(
+                (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+            )
+            im = im.resize(
+                (max_width, max(1, round(h * max_width / w))), Image.BILINEAR
+            )
+            return np.asarray(im)
+        return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
 
 def load_colmap(
     path: str,

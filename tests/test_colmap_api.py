@@ -532,3 +532,45 @@ def test_trainer_from_checkpoint_restores_sh_ramp(tmp_path):
     tr2 = Trainer.from_checkpoint(path, ds, max_instances=4096, sh_ramp_every=2)
     assert int(tr2.state.step) == 5
     assert tr2.sh_degree == 2, "SH ramp position must survive resume"
+
+
+def test_camera_shift_rotate_mutators():
+    """Functional shift/rotate (reference camera.jl:136-144): shifting moves
+    along local axes; rotating pre-multiplies the orientation; w2c/c2w stay
+    consistent inverses."""
+    import numpy as np
+
+    from gsplat_tpu.camera import Camera, look_at
+
+    R, t = look_at(np.array([1.0, 2.0, 5.0]), np.zeros(3))
+    cam = Camera.create(R=R, t=t, width=64, height=48,
+                        focal=np.array([60.0, 60.0], np.float32))
+    fwd = np.asarray(cam.c2w)[:3, 2]
+    cam2 = cam.shifted(np.array([0.0, 0.0, 1.5], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(cam2.camera_center),
+        np.asarray(cam.camera_center) + 1.5 * fwd, atol=1e-5,
+    )
+    th = 0.3
+    rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    cam3 = cam.rotated(rot)
+    np.testing.assert_allclose(
+        np.asarray(cam3.c2w)[:3, :3], rot @ np.asarray(cam.c2w)[:3, :3], atol=1e-5
+    )
+    # position unchanged by a pure rotation
+    np.testing.assert_allclose(
+        np.asarray(cam3.camera_center), np.asarray(cam.camera_center), atol=1e-5
+    )
+    # w2c is still the inverse of c2w
+    np.testing.assert_allclose(
+        np.asarray(cam3.w2c) @ np.asarray(cam3.c2w), np.eye(4), atol=1e-5
+    )
+
+
+def test_dataset_thumbnail(colmap_scene):
+    _, ds = colmap_scene
+    th = ds.thumbnail(0, max_width=16)
+    assert th.dtype == np.uint8 and th.shape[1] <= 16 and th.shape[2] == 3
+    h, w = ds.images[0].shape[:2]
+    assert abs(th.shape[0] / th.shape[1] - h / w) < 0.2
