@@ -41,6 +41,8 @@ def _build() -> str | None:
 
 def _load():
     global _lib, _build_error
+    if os.environ.get("GSPLAT_NATIVE_IO", "1") == "0":
+        return None  # global kill-switch: never load the .so
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib

@@ -184,6 +184,8 @@ static DecodedImage decode_png(FILE* f) {
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr, nullptr);
   if (bit_depth == 16) png_set_strip_16(png);
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
   if (color_type == PNG_COLOR_TYPE_GRAY || color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
   if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
@@ -192,6 +194,12 @@ static DecodedImage decode_png(FILE* f) {
     png_set_strip_alpha(png);
   }
   png_read_update_info(png, info);
+  if (png_get_rowbytes(png, info) != (size_t)w * 3) {
+    // Transform chain didn't land on tight 8-bit RGB rows; bail rather
+    // than write past the row buffers (caller falls back to PIL).
+    png_destroy_read_struct(&png, &info, nullptr);
+    return out;
+  }
   out.w = (int)w;
   out.h = (int)h;
   out.rgb.resize((size_t)w * h * 3);

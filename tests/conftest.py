@@ -11,7 +11,15 @@ if not os.environ.get("GST_TEST_TPU"):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # XLA:CPU's oneDNN rewrites crash this jaxlib under the suite's heavy
+    # many-compile load: two cores with SIGSEGV/SIGABRT inside oneDNN
+    # primitive creation/JIT codegen (jit_avx_..._sgemm generate_part1,
+    # jit_uni_softmax make_unique_pd) during backend_compile. Tests don't
+    # need peak CPU matmul throughput — turn oneDNN off for stability.
+    if "xla_cpu_use_onednn" not in flags:
+        flags = (flags + " --xla_cpu_use_onednn=false").strip()
+    os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -388,6 +388,16 @@ def test_training_viewer_live(tmp_path):
     tv.stop()
 
 
+def test_native_io_kill_switch(monkeypatch):
+    """GSPLAT_NATIVE_IO=0 must keep the .so out of the process entirely
+    (available() False) so a suspect native build can be excluded."""
+    from gsplat_tpu import native
+
+    monkeypatch.setenv("GSPLAT_NATIVE_IO", "0")
+    assert not native.available()
+    assert native.build_error() is None or isinstance(native.build_error(), str)
+
+
 def test_native_io_matches_python(tmp_path, rng):
     """The C++ IO runtime (gsplat_tpu/native): COLMAP parsers must equal the
     pure-Python parsers exactly; the threaded libjpeg/libpng + Lanczos-3
@@ -395,6 +405,8 @@ def test_native_io_matches_python(tmp_path, rng):
     native path must produce the same dataset geometry."""
     from gsplat_tpu import native
 
+    if os.environ.get("GSPLAT_NATIVE_IO", "1") == "0":
+        pytest.skip("native IO disabled via GSPLAT_NATIVE_IO=0")
     assert native.available(), native.build_error()
 
     root = str(tmp_path / "scene")
