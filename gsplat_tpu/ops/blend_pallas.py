@@ -94,6 +94,78 @@ def _chunk_alpha(slab, px, py):
     return alpha, opG, keep, dx, dy
 
 
+# --- monomial-basis sigma (opt-in, GSPLAT_BLEND_SIGMA_MM=1) ------------------
+#
+# sigma = 0.5*a*dx^2 + b*dx*dy + 0.5*c*dy^2 is bilinear in the pixel
+# monomials [u^2, uv, v^2, u, v, 1] and a per-instance coefficient 6-vector,
+# so a whole (P, K) chunk of sigmas is ONE (P,6)@(6,K) MXU matmul instead of
+# ~10 VPU passes over (P, K) — the blend kernels are VPU-issue-bound
+# (PERFORMANCE.md, benchmark/micro5.py). Coordinates are TILE-LOCAL
+# (u = px-ox, xl = x_i-ox) so every term stays O((3*sigma/tile)^2) and the
+# f32 cancellation error is bounded relative to the direct form.
+#
+# Near sigma == 0 (splat center) the reassociated sum can round to a tiny
+# negative; the PSD-rejection test becomes sigma >= -SIGMA_MM_TOL with
+# sigma clamped to >= 0, preserving the reference's intent (rejecting
+# non-PSD conics, render.jl:90) without dropping center pixels.
+
+SIGMA_MM_TOL = 1e-3
+
+
+def _pixel_monomials(tile_idx, gx):
+    """(P, 6) tile-local pixel monomials [u^2, uv, v^2, u, v, 1] and the
+    tile origin (ox, oy) as f32 scalars."""
+    tx = tile_idx % gx
+    ty = tile_idx // gx
+    ox = (tx * TILE).astype(jnp.float32)
+    oy = (ty * TILE).astype(jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    u = (k % TILE).astype(jnp.float32)  # px - ox
+    v = (k // TILE).astype(jnp.float32)  # py - oy
+    one = jnp.ones((P, 1), jnp.float32)
+    pmono = jnp.concatenate([u * u, u * v, v * v, u, v, one], axis=1)  # (P, 6)
+    return pmono, ox, oy
+
+
+def _chunk_coef(slab, ox, oy):
+    """Per-instance sigma coefficients (6, K) in tile-local coordinates,
+    plus (a, b, c, xl, yl) rows for the backward recombination."""
+    a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
+    b = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
+    c = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
+    xl = slab[ROW_X : ROW_X + 1, :] - ox  # (1, K)
+    yl = slab[ROW_Y : ROW_Y + 1, :] - oy
+    coef = jnp.concatenate(
+        [
+            0.5 * a,
+            b,
+            0.5 * c,
+            -(a * xl + b * yl),
+            -(b * xl + c * yl),
+            0.5 * a * xl * xl + b * xl * yl + 0.5 * c * yl * yl,
+        ],
+        axis=0,
+    )  # (6, K)
+    return coef, a, b, c, xl, yl
+
+
+def _chunk_alpha_mm(slab, pmono, coef):
+    """Matmul-basis alpha: same contract as _chunk_alpha (without dx/dy).
+    Also returns sigma (the backward masks d alpha/d sigma where the
+    sigma>=0 clamp is active)."""
+    sigma = jax.lax.dot_general(
+        pmono, coef, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # (P, K)
+    op = slab[ROW_OPACITY : ROW_OPACITY + 1, :]
+    G = jnp.exp(-jnp.maximum(sigma, 0.0))
+    opG = op * G
+    alpha = jnp.minimum(ALPHA_MAX, opG)
+    keep = (sigma >= -SIGMA_MM_TOL) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, opG, keep, sigma
+
+
 def _tri(k, cmp, dtype=jnp.float32):
     r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
@@ -178,6 +250,7 @@ def _fwd_kernel(
     gx: int,
     n_feat: int,
     i_pad: int,
+    sigma_mm: bool = False,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -185,7 +258,10 @@ def _fwd_kernel(
     nc = pl.cdiv(count, jnp.int32(CHUNK))
     max_off = i_pad - CHUNK
 
-    px, py = _pixel_coords(tile_ids_ref[t], gx)
+    if sigma_mm:
+        pmono, ox, oy = _pixel_monomials(tile_ids_ref[t], gx)
+    else:
+        px, py = _pixel_coords(tile_ids_ref[t], gx)
     tri_incl = _tri(CHUNK, lambda r, c: r <= c)  # x @ tri = inclusive cumsum
     rank1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)  # (P,K) 1-based
 
@@ -212,7 +288,11 @@ def _fwd_kernel(
         get_dma(j, slot).wait()
         slab = slab_ref[slot]  # (F_PAD, CHUNK)
 
-        alpha, _opG, _keep, _dx, _dy = _chunk_alpha(slab, px, py)
+        if sigma_mm:
+            coef = _chunk_coef(slab, ox, oy)[0]
+            alpha = _chunk_alpha_mm(slab, pmono, coef)[0]
+        else:
+            alpha = _chunk_alpha(slab, px, py)[0]
         in_count = rank1 + j * CHUNK <= count
         alpha = jnp.where(in_count, alpha, 0.0)
 
@@ -269,6 +349,7 @@ def _fwd_kernel_tb(
     n_feat: int,
     i_pad: int,
     tb: int,
+    sigma_mm: bool = False,
 ):
     """Forward blend with TB tiles per grid step: amortizes the ~0.7 us
     per-grid-step fixed cost (benchmark/micro5.py) over TB tiles. The chunk
@@ -280,7 +361,10 @@ def _fwd_kernel_tb(
     counts = [tile_count_ref[t * tb + b] for b in range(tb)]
     ncs = [pl.cdiv(c, jnp.int32(CHUNK)) for c in counts]
     nc = functools.reduce(jnp.maximum, ncs)
-    coords = [_pixel_coords(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
+    if sigma_mm:
+        monos = [_pixel_monomials(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
+    else:
+        coords = [_pixel_coords(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
     tri_incl = _tri(CHUNK, lambda r, c: r <= c)
     rank1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
 
@@ -310,8 +394,13 @@ def _fwd_kernel_tb(
         new_color, new_logT, new_done, new_contrib = [], [], [], []
         for b in range(tb):
             slab = slab_ref[slot, b]  # (F_PAD, CHUNK)
-            px, py = coords[b]
-            alpha, _opG, _keep, _dx, _dy = _chunk_alpha(slab, px, py)
+            if sigma_mm:
+                pmono, ox, oy = monos[b]
+                coef = _chunk_coef(slab, ox, oy)[0]
+                alpha = _chunk_alpha_mm(slab, pmono, coef)[0]
+            else:
+                px, py = coords[b]
+                alpha = _chunk_alpha(slab, px, py)[0]
             in_count = rank1 + j * CHUNK <= counts[b]
             alpha = jnp.where(in_count, alpha, 0.0)
 
@@ -369,7 +458,8 @@ def _fwd_kernel_tb(
 
 
 def _blend_fwd_impl(
-    inst, tile_start, tile_count, *, grid_wh, n_feat, tile_ids=None, tiles_per_step=1
+    inst, tile_start, tile_count, *, grid_wh, n_feat, tile_ids=None,
+    tiles_per_step=1, sigma_mm=False,
 ):
     gx, gy = grid_wh
     n_tiles = tile_start.shape[0]
@@ -389,7 +479,9 @@ def _blend_fwd_impl(
     t_pad = n_tiles + padt
 
     if tb == 1:
-        kernel = functools.partial(_fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad)
+        kernel = functools.partial(
+            _fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad, sigma_mm=sigma_mm
+        )
         out_spec = pl.BlockSpec(
             (1, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         )
@@ -399,7 +491,8 @@ def _blend_fwd_impl(
         ]
     else:
         kernel = functools.partial(
-            _fwd_kernel_tb, gx=gx, n_feat=n_feat, i_pad=i_pad, tb=tb
+            _fwd_kernel_tb, gx=gx, n_feat=n_feat, i_pad=i_pad, tb=tb,
+            sigma_mm=sigma_mm,
         )
         out_spec = pl.BlockSpec(
             (tb, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -453,6 +546,7 @@ def _bwd_kernel(
     gx: int,
     n_feat: int,
     i_pad: int,
+    sigma_mm: bool = False,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -465,7 +559,10 @@ def _bwd_kernel(
     nc = pl.cdiv(tile_count_eff_ref[t], jnp.int32(CHUNK))
     max_off = i_pad - CHUNK
 
-    px, py = _pixel_coords(tile_ids_ref[t], gx)
+    if sigma_mm:
+        pmono, ox, oy = _pixel_monomials(tile_ids_ref[t], gx)
+    else:
+        px, py = _pixel_coords(tile_ids_ref[t], gx)
     sfx_incl = _tri(CHUNK, lambda r, c: r >= c)  # x @ . = inclusive suffix sum
     sfx_excl = _tri(CHUNK, lambda r, c: r > c)  # x @ . = exclusive suffix sum
     lane1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
@@ -510,7 +607,11 @@ def _bwd_kernel(
         in_dma(j, slot).wait()
         slab = slab_ref[slot]  # (F_PAD, CHUNK)
 
-        alpha, opG, keep, dx, dy = _chunk_alpha(slab, px, py)
+        if sigma_mm:
+            coef, ca, cb, cc, xl, yl = _chunk_coef(slab, ox, oy)
+            alpha, opG, keep, sigma = _chunk_alpha_mm(slab, pmono, coef)
+        else:
+            alpha, opG, keep, dx, dy = _chunk_alpha(slab, px, py)
         rank1 = j * CHUNK + lane1  # (P,K)
         include = (rank1 <= count) & (alpha > 0.0) & (rank1 <= n_contrib)
         alpha = jnp.where(include, alpha, 0.0)
@@ -542,15 +643,37 @@ def _bwd_kernel(
         v_op = jnp.sum(v_opG * G, axis=0, keepdims=True)  # (1,K)
         v_sigma = -v_opG * opG  # (P,K): d alpha/d sigma = -op*G
 
-        a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
-        b = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
-        c = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
-        v_a = jnp.sum(v_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
-        v_b = jnp.sum(v_sigma * dx * dy, axis=0, keepdims=True)
-        v_c = jnp.sum(v_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
-        # sigma = b dx dy + 0.5(a dx^2 + c dy^2), dx = x_i - px
-        v_x = jnp.sum(v_sigma * (a * dx + b * dy), axis=0, keepdims=True)
-        v_y = jnp.sum(v_sigma * (b * dx + c * dy), axis=0, keepdims=True)
+        if sigma_mm:
+            # The clamp G = exp(-max(sigma, 0)) has zero slope on the
+            # clamped (sigma <= 0) branch.
+            v_sigma = jnp.where(sigma > 0.0, v_sigma, 0.0)
+            # All five pixel reductions from ONE (6,P)@(P,K) matmul:
+            # vm rows = sums of v_sigma * [u^2, uv, v^2, u, v, 1].
+            vm = jax.lax.dot_general(
+                pmono, v_sigma, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (6, K)
+            vm0, vm1, vm2 = vm[0:1, :], vm[1:2, :], vm[2:3, :]
+            vm3, vm4, vm5 = vm[3:4, :], vm[4:5, :], vm[5:6, :]
+            # dx = xl - u, dy = yl - v (tile-local): expand each sum.
+            v_a = 0.5 * (xl * xl * vm5 - 2.0 * xl * vm3 + vm0)
+            v_b = xl * yl * vm5 - xl * vm4 - yl * vm3 + vm1
+            v_c = 0.5 * (yl * yl * vm5 - 2.0 * yl * vm4 + vm2)
+            sx = xl * vm5 - vm3  # sum v_sigma * dx
+            sy = yl * vm5 - vm4  # sum v_sigma * dy
+            v_x = ca * sx + cb * sy
+            v_y = cb * sx + cc * sy
+        else:
+            a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
+            b = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
+            c = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
+            v_a = jnp.sum(v_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
+            v_b = jnp.sum(v_sigma * dx * dy, axis=0, keepdims=True)
+            v_c = jnp.sum(v_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
+            # sigma = b dx dy + 0.5(a dx^2 + c dy^2), dx = x_i - px
+            v_x = jnp.sum(v_sigma * (a * dx + b * dy), axis=0, keepdims=True)
+            v_y = jnp.sum(v_sigma * (b * dx + c * dy), axis=0, keepdims=True)
         # v_feat[c,k] = sum_p g_color[c,p] * w[p,k]
         v_feat = jax.lax.dot_general(
             g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
@@ -589,7 +712,7 @@ def _bwd_kernel(
 
 def _blend_bwd_impl(
     inst, tile_start, tile_count, tile_count_eff, gpack, *, grid_wh, n_feat,
-    tile_ids=None,
+    tile_ids=None, sigma_mm=False,
 ):
     gx, gy = grid_wh
     n_tiles = tile_start.shape[0]
@@ -614,7 +737,9 @@ def _blend_bwd_impl(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad),
+        functools.partial(
+            _bwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad, sigma_mm=sigma_mm
+        ),
         out_shape=jax.ShapeDtypeStruct((F_PAD, i_pad), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -629,25 +754,31 @@ def _blend_bwd_impl(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _blend(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk, tiles_per_step):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _blend(
+    inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk,
+    tiles_per_step, sigma_mm,
+):
     return _blend_fwd_impl(
         inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat,
-        tile_ids=tile_ids, tiles_per_step=tiles_per_step,
+        tile_ids=tile_ids, tiles_per_step=tiles_per_step, sigma_mm=sigma_mm,
     )
 
 
-def _vjp_fwd(inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk, tiles_per_step):
+def _vjp_fwd(
+    inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk,
+    tiles_per_step, sigma_mm,
+):
     color, T_final, n_contrib = _blend_fwd_impl(
         inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat,
-        tile_ids=tile_ids, tiles_per_step=tiles_per_step,
+        tile_ids=tile_ids, tiles_per_step=tiles_per_step, sigma_mm=sigma_mm,
     )
     return (color, T_final, n_contrib), (
         inst, tile_start, tile_count, tile_ids, T_final, n_contrib
     )
 
 
-def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, res, g):
+def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, sigma_mm, res, g):
     inst, tile_start, tile_count, tile_ids, T_final, n_contrib = res
     g_color, g_T, _g_contrib = g
     n_tiles = T_final.shape[0]
@@ -670,6 +801,7 @@ def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, res, g):
         _blend_bwd_impl(
             inst, tile_start, tile_count, tile_count_eff, gpack,
             grid_wh=grid_wh, n_feat=n_feat, tile_ids=tile_ids,
+            sigma_mm=sigma_mm,
         )
     )
     # Slots outside every processed tile's written range are never touched by
@@ -692,7 +824,7 @@ def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, res, g):
 _blend.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-_blend_jit = jax.jit(_blend, static_argnums=(4, 5, 6, 7))
+_blend_jit = jax.jit(_blend, static_argnums=(4, 5, 6, 7, 8))
 
 # Forward tiles-per-grid-step batching: amortizes the per-grid-step fixed
 # cost (micro5: ~0.7 us/tile). Default 1 until validated on real hardware;
@@ -702,7 +834,7 @@ DEFAULT_TILES_PER_STEP = 1
 
 def blend_pallas(
     inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK,
-    tile_ids=None, tiles_per_step=None,
+    tile_ids=None, tiles_per_step=None, sigma_mm=None,
 ):
     """Composite all tiles; inst is (I_pad, F_PAD). Same contract as blend_scan:
     returns (color (T,P,C), T_final (T,P), n_contrib (T,P) int32).
@@ -717,11 +849,14 @@ def blend_pallas(
         tiles_per_step = int(
             os.environ.get("GSPLAT_BLEND_TB", DEFAULT_TILES_PER_STEP)
         )
+    if sigma_mm is None:
+        sigma_mm = os.environ.get("GSPLAT_BLEND_SIGMA_MM", "0") == "1"
     rem = (-inst.shape[0]) % _REPACK_BLOCK
     if rem:  # repack kernels need a multiple of the (1024, F) block
         inst = jnp.pad(inst, ((0, rem), (0, 0)))
     if tile_ids is None:
         tile_ids = jnp.arange(tile_start.shape[0], dtype=jnp.int32)
     return _blend_jit(
-        inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk, tiles_per_step
+        inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk,
+        tiles_per_step, bool(sigma_mm),
     )

@@ -123,6 +123,53 @@ def test_pallas_gradients_with_tiles_per_step(rng):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("tb", [1, 2])
+def test_pallas_forward_sigma_mm(rng, tb):
+    """Monomial-basis sigma (one (P,6)@(6,K) MXU matmul per chunk) must match
+    the scan spec; the reassociated tile-local form only differs by bounded
+    f32 rounding (and by keeping center pixels the direct form would drop on
+    a tiny-negative sigma — none in this data)."""
+    grid = (3, 2)
+    n_feat = 3
+    inst, starts, counts = make_instances(rng, grid, 500, n_feat, CHUNK)
+    args = (jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts))
+    c_p, T_p, n_p = blend_pallas(
+        *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK,
+        tiles_per_step=tb, sigma_mm=True,
+    )
+    c_s, T_s, n_s = blend_scan(*args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+@pytest.mark.parametrize("opacity_scale", [1.0, 3.0])
+def test_pallas_gradients_sigma_mm(rng, opacity_scale):
+    """Backward recombination of all five conic/mean cotangent pixel sums
+    from ONE (6,P)@(P,K) matmul must match the scan-autodiff gradients."""
+    grid = (2, 1)
+    n_feat = 4
+    inst, starts, counts = make_instances(
+        rng, grid, 300, n_feat, CHUNK, opacity_scale=opacity_scale
+    )
+    g_color = jnp.asarray(rng.normal(size=(2, TILE_PIXELS, n_feat)), jnp.float32)
+    g_T = jnp.asarray(rng.normal(size=(2, TILE_PIXELS)), jnp.float32)
+    args = (jnp.asarray(starts), jnp.asarray(counts))
+
+    def loss(fn, x, **kw):
+        color, T, _ = fn(x, *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK, **kw)
+        return jnp.sum(color * g_color) + jnp.sum(T * g_T)
+
+    g_p = np.asarray(
+        jax.grad(lambda x: loss(blend_pallas, x, sigma_mm=True))(jnp.asarray(inst))
+    )
+    g_s = np.asarray(jax.grad(lambda x: loss(blend_scan, x))(jnp.asarray(inst)))
+    assert np.all(np.isfinite(g_p))
+    assert np.all(g_p[:, 6 + n_feat :] == 0.0)
+    scale = np.maximum(np.abs(g_s), 1e-3)
+    np.testing.assert_allclose(g_p / scale, g_s / scale, rtol=0, atol=5e-3)
+
+
 def test_pallas_bwd_early_exit_bound(rng):
     """The backward replay starts at the last contributing chunk
     (max_p n_contrib), skipping saturated-past chunks entirely; gradients for
