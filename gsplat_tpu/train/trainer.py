@@ -458,8 +458,10 @@ def eval_view(
     sky_dc=None,
 ):
     """Per-view SSIM/MSE/PSNR (reference validate, training.jl:487-532),
-    sky composited when present."""
-    img, _ = render(*model.render_args(), camera=camera, config=config, sh_degree=sh_degree)
+    sky composited when present. Also reports the render's instance-budget
+    overflow flag: a truncated render silently deflates the metrics, so
+    callers must be able to see it."""
+    img, aux = render(*model.render_args(), camera=camera, config=config, sh_degree=sh_degree)
     image = img[..., :3]
     if sky is not None:
         from ..models.sky_dome import composite_sky
@@ -471,6 +473,8 @@ def eval_view(
         "ssim": ssim(image, target),
         "mse": mse_fn(image, target),
         "psnr": psnr(image, target),
+        "overflow": aux["overflow"],
+        "p_instances": aux["p_instances"],
     }
 
 
@@ -1261,6 +1265,8 @@ class Trainer:
         if not self.dataset.test_ids:
             return {}
         acc = {"ssim": 0.0, "mse": 0.0, "psnr": 0.0}
+        overflow = False
+        p_inst = 0
         sky_dc = self.state.aux.get("sky_dc") if self.sky is not None else None
         for vid in self.dataset.test_ids:
             cam = self.dataset.cameras[vid]
@@ -1276,5 +1282,17 @@ class Trainer:
             )
             for k in acc:
                 acc[k] += float(out[k])
+            overflow = overflow or bool(out["overflow"])
+            p_inst = max(p_inst, int(out["p_instances"]))
         n = len(self.dataset.test_ids)
-        return {k: v / n for k, v in acc.items()}
+        res = {k: v / n for k, v in acc.items()}
+        res["overflow"] = overflow
+        res["p_instances"] = p_inst
+        if overflow:
+            print(
+                f"[trainer] validate: instance budget overflow "
+                f"(demand {p_inst} > {self.max_instances}); metrics are "
+                "computed on TRUNCATED renders — raise max_instances.",
+                flush=True,
+            )
+        return res
