@@ -1,0 +1,103 @@
+"""Targeted TPU experiments for the atrium quality-trajectory regression
+(see RESULTS.md): the run plateaus at ~26.1 dB despite reaching 29.9 dB at
+step 2000, SH bands actively hurt eval (-1.7 dB), and post-reset recovery
+takes 2000+ steps (the reference recovers in a few hundred).
+
+Experiments (each resumable/skippable; run on the REAL TPU):
+  E2 resume    — resume the 22000 autosave +2000 steps: stuck vs climbing.
+  E3 mcmc      — MCMC strategy to 7k (no opacity resets): isolates ADC
+                 reset dynamics; fills the deferred RESULTS.md row.
+  E4 sh0       — fresh ADC run to 7k with max_sh_degree=0: isolates the
+                 SH-band damage.
+
+Usage: /opt/venv/bin/python benchmark/quality_experiments.py [e2|e3|e4 ...]
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SCENE = "benchmark/scenes/atrium"
+
+
+def log(msg):
+    print(f"[qexp] {msg}", flush=True)
+
+
+def _dataset():
+    from gsplat_tpu.data.colmap import load_colmap
+
+    return load_colmap(SCENE, scale=1, holdout=8, max_extent=float("inf"))
+
+
+def e2_resume(ds):
+    from gsplat_tpu.api import create_strategy, reference_opt_params
+    from gsplat_tpu.train.trainer import Trainer
+
+    tr = Trainer.from_checkpoint(
+        f"{SCENE}/bench_default-022000.safetensors", ds,
+        opt_params=reference_opt_params(),
+        strategy=create_strategy("default", seed=0),
+        max_instances=1 << 21, seed=0,
+    )
+    rows = []
+    for _ in range(4):
+        t0 = time.time()
+        tr.train(500)
+        v = tr.validate(quantize=True)
+        rows.append({"step": int(tr.state.step), "psnr": round(v["psnr"], 2),
+                     "ssim": round(v["ssim"], 4), "min": round((time.time()-t0)/60, 1)})
+        log(f"E2 {rows[-1]}")
+    return rows
+
+
+def _fresh(ds, strategy, max_sh_degree=3, n_steps=7000, evals=(1400, 3500, 7000)):
+    import numpy as np
+
+    from gsplat_tpu.api import create_strategy, reference_opt_params
+    from gsplat_tpu.models.gaussians import GaussianModel, initial_scales
+    from gsplat_tpu.train.trainer import Trainer
+
+    model = GaussianModel.create(
+        ds.points, ds.colors, ds.scales, max_sh_degree=max_sh_degree
+    )
+    tr = Trainer(
+        model, ds, opt_params=reference_opt_params(),
+        strategy=create_strategy(strategy, seed=0),
+        max_instances=1 << 21, seed=0,
+    )
+    rows, done = [], 0
+    for target in evals:
+        t0 = time.time()
+        tr.train(target - done)
+        done = target
+        v = tr.validate(quantize=True)
+        rows.append({"step": target, "psnr": round(v["psnr"], 2),
+                     "ssim": round(v["ssim"], 4),
+                     "n": int(tr.state.model.n_alive),
+                     "min": round((time.time()-t0)/60, 1)})
+        log(f"{strategy}/sh{max_sh_degree} {rows[-1]}")
+    return rows
+
+
+def main():
+    import jax
+
+    log(f"backend: {jax.default_backend()}")
+    want = set(a.lower() for a in sys.argv[1:]) or {"e2", "e3", "e4"}
+    ds = _dataset()
+    out = {}
+    if "e2" in want:
+        out["e2_resume"] = e2_resume(ds)
+    if "e3" in want:
+        out["e3_mcmc"] = _fresh(ds, "mcmc")
+    if "e4" in want:
+        out["e4_sh0"] = _fresh(ds, "default", max_sh_degree=0)
+    Path("benchmark/qexp_results.json").write_text(json.dumps(out, indent=1))
+    log("wrote benchmark/qexp_results.json")
+
+
+if __name__ == "__main__":
+    main()
