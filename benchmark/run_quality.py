@@ -1,7 +1,10 @@
-"""Run the benchmark() evaluation protocol on the atrium quality scene
-(real TPU) and write RESULTS.md.
+"""Run the benchmark() evaluation protocol on a quality scene (real TPU)
+and write RESULTS.md.
 
 Usage: /opt/venv/bin/python benchmark/run_quality.py [n_steps] [strategies...]
+  [--scene DIR]   (default benchmark/scenes/atrium_hd — 1248x832, the
+                   reference's MipNeRF-360-scale-4 operating point; the 20px
+                   screen-size prune is resolution-dependent, see RESULTS.md)
 """
 import json
 import sys
@@ -10,40 +13,38 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
-strategies = tuple(sys.argv[2:]) or ("default", "mcmc")
+args = sys.argv[1:]
+scene = "benchmark/scenes/atrium_hd"
+if "--scene" in args:
+    i = args.index("--scene")
+    scene = args[i + 1]
+    del args[i : i + 2]
+n_steps = int(args[0]) if args else 30_000
+strategies = tuple(args[1:]) or ("default", "mcmc")
 
 from gsplat_tpu.api import benchmark
 
 t0 = time.time()
 rows = benchmark(
-    "benchmark/scenes/atrium",
+    scene,
     scale=1,
     strategies=strategies,
     n_steps=n_steps,
     eval_steps=(7_000, 30_000),
+    autosave_every=2_000,
 )
 print(json.dumps(rows), flush=True)
-out = Path("RESULTS.md")
-lines = [
-    "# Quality results — atrium scene (real TPU, v5e single chip)",
-    "",
-    "Scene: `benchmark/scenes/atrium` — ray-traced 40-view orbit, 640x416,",
-    "photo/procedural textures, 30k-point SfM-style seed cloud (see",
-    "`benchmark/make_scene.py`; the environment has no network egress, so this",
-    "is the closest obtainable stand-in for a MipNeRF-360 capture).",
-    "Protocol: `gsplat_tpu.api.benchmark()` — fixed seed, max_extent=inf,",
-    "holdout every 8th view, quantized metrics (reference:",
-    "src/GaussianSplatting.jl:260-359).",
-    "",
-    "| strategy | step | PSNR | SSIM | MSE | gaussians | train min |",
-    "|---|---|---|---|---|---|---|",
-]
+# Rows land in a sidecar (RESULTS.md is curated by hand around them).
+out = Path(scene) / "quality_rows.json"
+out.write_text(json.dumps({"scene": scene, "n_steps": n_steps,
+                           "minutes": (time.time() - t0) / 60, "rows": rows},
+                          indent=1))
+lines = ["| strategy | step | PSNR | SSIM | MSE | gaussians | train min |",
+         "|---|---|---|---|---|---|---|"]
 for r in rows:
     lines.append(
         f"| {r['config']} | {r['step']} | {r['psnr']:.2f} | {r['ssim']:.4f} "
         f"| {r['mse']:.5f} | {r['n_gaussians']} | {r['minutes']:.1f} |"
     )
-lines += ["", f"Total wall-clock: {(time.time()-t0)/60:.1f} min."]
-out.write_text("\n".join(lines) + "\n")
-print("wrote RESULTS.md", flush=True)
+print("\n".join(lines), flush=True)
+print(f"wrote {out} (total {(time.time()-t0)/60:.1f} min)", flush=True)
