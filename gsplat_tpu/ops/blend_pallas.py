@@ -478,6 +478,18 @@ def _blend_fwd_impl(
         )
     t_pad = n_tiles + padt
 
+    unsort = None
+    if tb > 1:
+        # Each TB grid step runs max(count over its tiles) chunk iterations;
+        # batching tiles of SIMILAR count minimizes the padding waste
+        # (sum of per-group maxima -> sum of means as groups homogenize).
+        # Descending count order also front-loads the heavy tiles.
+        order = jnp.argsort(-tile_count)
+        tile_start = jnp.take(tile_start, order)
+        tile_count = jnp.take(tile_count, order)
+        tile_ids = jnp.take(tile_ids, order)
+        unsort = jnp.argsort(order)
+
     if tb == 1:
         kernel = functools.partial(
             _fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad, sigma_mm=sigma_mm
@@ -517,6 +529,8 @@ def _blend_fwd_impl(
         interpret=_interpret(),
     )(tile_ids, tile_start, tile_count, inst)
 
+    if unsort is not None:
+        packed = jnp.take(packed, unsort, axis=0)
     packed = packed[:n_tiles]
     color = packed[:, :n_feat, :].transpose(0, 2, 1)  # (T, P, C)
     T_final = packed[:, n_feat, :]  # (T, P)
