@@ -768,6 +768,17 @@ class Trainer:
     def _dispatch_step(self, inp):
         """Dispatch one jitted step from an inputs dict; returns packed
         metrics (device array). Also runs the strategy hook."""
+        from .strategy import MCMCStrategy
+
+        # MCMC position noise runs INSIDE the jitted step, keyed by
+        # (seed, step) — same derivation as the scan-chunked path, so
+        # stepwise == chunked bitwise and rollback replays are
+        # deterministic (a host-side key split would re-draw on replay).
+        is_mcmc = isinstance(self.strategy, MCMCStrategy)
+        mcmc_noise = None
+        if is_mcmc:
+            st = self.strategy
+            mcmc_noise = (st.noise_lr, st.max_scale, st.seed)
         self.state, metrics = train_step(
             self.state,
             inp["camera"],
@@ -782,10 +793,11 @@ class Trainer:
             reg_weights=inp["reg"],
             features=self.features,
             sky=self.sky,
+            mcmc_noise=mcmc_noise,
         )
         if self.strategy is not None:
             self.state = self.strategy.post_train_step(
-                self.state, self, inp["step"] + 1
+                self.state, self, inp["step"] + 1, noise_in_step=is_mcmc
             )
         return metrics["packed"]
 

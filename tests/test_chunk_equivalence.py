@@ -13,7 +13,7 @@ import pytest
 
 from gsplat_tpu.data.colmap import make_synthetic_dataset
 from gsplat_tpu.models.gaussians import GaussianModel
-from gsplat_tpu.train.strategy import DefaultStrategy
+from gsplat_tpu.train.strategy import DefaultStrategy, MCMCStrategy
 from gsplat_tpu.train.trainer import Trainer
 
 
@@ -80,3 +80,44 @@ def test_chunked_equals_stepwise(dataset, monkeypatch):
         np.asarray(chunked.state.grad_accum),
         np.asarray(stepwise.state.grad_accum), rtol=2e-4, atol=1e-5,
     )
+
+
+def test_chunked_equals_stepwise_mcmc(dataset, monkeypatch):
+    """Same equivalence for MCMC: in-jit per-step position noise keyed by
+    state.step plus refine (relocate/grow) at boundaries."""
+    n = 24
+
+    def make(**kw):
+        model = GaussianModel.create(
+            dataset.points
+            + np.random.default_rng(1).normal(0, 0.02, dataset.points.shape).astype(np.float32),
+            dataset.colors,
+            dataset.scales,
+            max_sh_degree=1,
+        )
+        strat = MCMCStrategy(
+            max_cap=600, start_refine=6, stop_refine=100, refine_every=7,
+            max_scale=10.0, seed=0,
+        )
+        return Trainer(
+            model, dataset, strategy=strat, max_instances=8192, seed=0,
+            sh_ramp_every=10, **kw
+        )
+
+    chunked = make()
+    assert chunked._can_chunk()
+    chunked.chunk_steps = 5  # does not divide refine_every=7
+    chunked.train(n)
+
+    stepwise = make()
+    monkeypatch.setattr(type(stepwise), "_can_chunk", lambda self: False)
+    stepwise.train(n)
+
+    assert int(chunked.state.step) == int(stepwise.state.step) == n
+    np.testing.assert_array_equal(
+        np.asarray(chunked.state.model.alive), np.asarray(stepwise.state.model.alive)
+    )
+    pc = {k: np.asarray(v) for k, v in chunked.state.model.params().items()}
+    ps = {k: np.asarray(v) for k, v in stepwise.state.model.params().items()}
+    for k in pc:
+        np.testing.assert_allclose(pc[k], ps[k], rtol=2e-5, atol=2e-6, err_msg=k)
