@@ -574,9 +574,9 @@ def _bwd_kernel(
     max_off = i_pad - CHUNK
 
     if sigma_mm:
-        pmono, ox, oy = _pixel_monomials(tile_ids_ref[t], gx)
+        pix = _pixel_monomials(tile_ids_ref[t], gx)
     else:
-        px, py = _pixel_coords(tile_ids_ref[t], gx)
+        pix = _pixel_coords(tile_ids_ref[t], gx)
     sfx_incl = _tri(CHUNK, lambda r, c: r >= c)  # x @ . = inclusive suffix sum
     sfx_excl = _tri(CHUNK, lambda r, c: r > c)  # x @ . = exclusive suffix sum
     lane1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
@@ -621,95 +621,19 @@ def _bwd_kernel(
         in_dma(j, slot).wait()
         slab = slab_ref[slot]  # (F_PAD, CHUNK)
 
-        if sigma_mm:
-            coef, ca, cb, cc, xl, yl = _chunk_coef(slab, ox, oy)
-            alpha, opG, keep, sigma = _chunk_alpha_mm(slab, pmono, coef)
-        else:
-            alpha, opG, keep, dx, dy = _chunk_alpha(slab, px, py)
-        rank1 = j * CHUNK + lane1  # (P,K)
-        include = (rank1 <= count) & (alpha > 0.0) & (rank1 <= n_contrib)
-        alpha = jnp.where(include, alpha, 0.0)
-
-        log1m = jnp.log1p(-alpha)
-        ss = _mm(log1m, sfx_incl)  # (P,K) inclusive suffix sum
-        # T just before instance i = T_after_chunk / prod_{j>=i}(1-a_j)
-        T_before = jnp.exp(logT_after - ss)
-        w = alpha * T_before  # (P,K), zero where excluded
-
-        feat = slab[ROW_FEAT : ROW_FEAT + n_feat, :]  # (C,K)
-        # gf[p,k] = sum_c g_color[c,p] * feat[c,k]
-        gf = jax.lax.dot_general(
-            g_color, feat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )  # (P,K)
-        wgf = w * gf
-        # suffix sum of later contributions: within-chunk exclusive + carry
-        s_i = _mm(wgf, sfx_excl) + s_carry  # (P,K)
-
-        one_m = 1.0 - alpha
-        v_alpha = jnp.where(include, T_before * gf - (s_i + gT_term) / one_m, 0.0)
-
-        # alpha = min(0.99, op*G): zero grad on the clamped branch
-        # (matches blend_scan; diverges from render.jl:234 — see module doc).
-        v_opG = jnp.where(include & (opG < ALPHA_MAX) & keep, v_alpha, 0.0)
-        op = slab[ROW_OPACITY : ROW_OPACITY + 1, :]
-        safe_op = jnp.where(op > 0.0, op, 1.0)
-        G = opG / safe_op
-        v_op = jnp.sum(v_opG * G, axis=0, keepdims=True)  # (1,K)
-        v_sigma = -v_opG * opG  # (P,K): d alpha/d sigma = -op*G
-
-        if sigma_mm:
-            # The clamp G = exp(-max(sigma, 0)) has zero slope on the
-            # clamped (sigma <= 0) branch.
-            v_sigma = jnp.where(sigma > 0.0, v_sigma, 0.0)
-            # All five pixel reductions from ONE (6,P)@(P,K) matmul:
-            # vm rows = sums of v_sigma * [u^2, uv, v^2, u, v, 1].
-            vm = jax.lax.dot_general(
-                pmono, v_sigma, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (6, K)
-            vm0, vm1, vm2 = vm[0:1, :], vm[1:2, :], vm[2:3, :]
-            vm3, vm4, vm5 = vm[3:4, :], vm[4:5, :], vm[5:6, :]
-            # dx = xl - u, dy = yl - v (tile-local): expand each sum.
-            v_a = 0.5 * (xl * xl * vm5 - 2.0 * xl * vm3 + vm0)
-            v_b = xl * yl * vm5 - xl * vm4 - yl * vm3 + vm1
-            v_c = 0.5 * (yl * yl * vm5 - 2.0 * yl * vm4 + vm2)
-            sx = xl * vm5 - vm3  # sum v_sigma * dx
-            sy = yl * vm5 - vm4  # sum v_sigma * dy
-            v_x = ca * sx + cb * sy
-            v_y = cb * sx + cc * sy
-        else:
-            a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
-            b = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
-            c = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
-            v_a = jnp.sum(v_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
-            v_b = jnp.sum(v_sigma * dx * dy, axis=0, keepdims=True)
-            v_c = jnp.sum(v_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
-            # sigma = b dx dy + 0.5(a dx^2 + c dy^2), dx = x_i - px
-            v_x = jnp.sum(v_sigma * (a * dx + b * dy), axis=0, keepdims=True)
-            v_y = jnp.sum(v_sigma * (b * dx + c * dy), axis=0, keepdims=True)
-        # v_feat[c,k] = sum_p g_color[c,p] * w[p,k]
-        v_feat = jax.lax.dot_general(
-            g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )  # (C,K)
+        vfull, logT_after, s_carry = _bwd_chunk_math(
+            slab, pix, g_color, gT_term, n_contrib, count, j, lane1,
+            sfx_incl, sfx_excl, logT_after, s_carry,
+            sigma_mm=sigma_mm, n_feat=n_feat,
+        )
 
         # The same vslab slot was DMA'd out two iterations ago; reclaim it.
         @pl.when(i >= 2)
         def _():
             out_dma(j + 2, slot).wait()
 
-        vfull = jnp.concatenate(
-            [
-                v_x, v_y, v_a, v_b, v_c, v_op, v_feat,
-                jnp.zeros((F_PAD - ROW_FEAT - n_feat, CHUNK), jnp.float32),
-            ],
-            axis=0,
-        )  # (F_PAD, CHUNK)
         vslab_ref[slot] = vfull
         out_dma(j, slot).start()
-
-        logT_after = logT_after - jnp.sum(log1m, axis=1, keepdims=True)
-        s_carry = s_carry + jnp.sum(wgf, axis=1, keepdims=True)
         return logT_after, s_carry
 
     logT_final = jnp.log(jnp.maximum(T_final, 1e-30))
@@ -724,9 +648,232 @@ def _bwd_kernel(
         out_dma(0, (nc - 1) % jnp.int32(2)).wait()
 
 
+def _bwd_chunk_math(
+    slab, pix, g_color, gT_term, n_contrib, count, j, lane1,
+    sfx_incl, sfx_excl, logT_after, s_carry, *, sigma_mm: bool, n_feat: int,
+):
+    """One chunk of the back-to-front replay: reconstruct per-instance
+    transmittance from the running logT, compute every cotangent row, and
+    advance the (logT_after, s_carry) recurrence. `pix` is the precomputed
+    (pmono, ox, oy) monomials in sigma_mm mode, else (px, py) pixel coords.
+    Returns (vfull (F_PAD, CHUNK), new_logT_after, new_s_carry)."""
+    if sigma_mm:
+        pmono, ox, oy = pix
+        coef, ca, cb, cc, xl, yl = _chunk_coef(slab, ox, oy)
+        alpha, opG, keep, sigma = _chunk_alpha_mm(slab, pmono, coef)
+    else:
+        px, py = pix
+        alpha, opG, keep, dx, dy = _chunk_alpha(slab, px, py)
+    rank1 = j * CHUNK + lane1  # (P,K)
+    include = (rank1 <= count) & (alpha > 0.0) & (rank1 <= n_contrib)
+    alpha = jnp.where(include, alpha, 0.0)
+
+    log1m = jnp.log1p(-alpha)
+    ss = _mm(log1m, sfx_incl)  # (P,K) inclusive suffix sum
+    # T just before instance i = T_after_chunk / prod_{j>=i}(1-a_j)
+    T_before = jnp.exp(logT_after - ss)
+    w = alpha * T_before  # (P,K), zero where excluded
+
+    feat = slab[ROW_FEAT : ROW_FEAT + n_feat, :]  # (C,K)
+    # gf[p,k] = sum_c g_color[c,p] * feat[c,k]
+    gf = jax.lax.dot_general(
+        g_color, feat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )  # (P,K)
+    wgf = w * gf
+    # suffix sum of later contributions: within-chunk exclusive + carry
+    s_i = _mm(wgf, sfx_excl) + s_carry  # (P,K)
+
+    one_m = 1.0 - alpha
+    v_alpha = jnp.where(include, T_before * gf - (s_i + gT_term) / one_m, 0.0)
+
+    # alpha = min(0.99, op*G): zero grad on the clamped branch
+    # (matches blend_scan; diverges from render.jl:234 — see module doc).
+    v_opG = jnp.where(include & (opG < ALPHA_MAX) & keep, v_alpha, 0.0)
+    op = slab[ROW_OPACITY : ROW_OPACITY + 1, :]
+    safe_op = jnp.where(op > 0.0, op, 1.0)
+    G = opG / safe_op
+    v_op = jnp.sum(v_opG * G, axis=0, keepdims=True)  # (1,K)
+    v_sigma = -v_opG * opG  # (P,K): d alpha/d sigma = -op*G
+
+    if sigma_mm:
+        # The clamp G = exp(-max(sigma, 0)) has zero slope on the
+        # clamped (sigma <= 0) branch.
+        v_sigma = jnp.where(sigma > 0.0, v_sigma, 0.0)
+        # All five pixel reductions from ONE (6,P)@(P,K) matmul:
+        # vm rows = sums of v_sigma * [u^2, uv, v^2, u, v, 1].
+        vm = jax.lax.dot_general(
+            pmono, v_sigma, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (6, K)
+        vm0, vm1, vm2 = vm[0:1, :], vm[1:2, :], vm[2:3, :]
+        vm3, vm4, vm5 = vm[3:4, :], vm[4:5, :], vm[5:6, :]
+        # dx = xl - u, dy = yl - v (tile-local): expand each sum.
+        v_a = 0.5 * (xl * xl * vm5 - 2.0 * xl * vm3 + vm0)
+        v_b = xl * yl * vm5 - xl * vm4 - yl * vm3 + vm1
+        v_c = 0.5 * (yl * yl * vm5 - 2.0 * yl * vm4 + vm2)
+        sx = xl * vm5 - vm3  # sum v_sigma * dx
+        sy = yl * vm5 - vm4  # sum v_sigma * dy
+        v_x = ca * sx + cb * sy
+        v_y = cb * sx + cc * sy
+    else:
+        a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
+        b = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
+        c = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
+        v_a = jnp.sum(v_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
+        v_b = jnp.sum(v_sigma * dx * dy, axis=0, keepdims=True)
+        v_c = jnp.sum(v_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
+        # sigma = b dx dy + 0.5(a dx^2 + c dy^2), dx = x_i - px
+        v_x = jnp.sum(v_sigma * (a * dx + b * dy), axis=0, keepdims=True)
+        v_y = jnp.sum(v_sigma * (b * dx + c * dy), axis=0, keepdims=True)
+    # v_feat[c,k] = sum_p g_color[c,p] * w[p,k]
+    v_feat = jax.lax.dot_general(
+        g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )  # (C,K)
+
+    vfull = jnp.concatenate(
+        [
+            v_x, v_y, v_a, v_b, v_c, v_op, v_feat,
+            jnp.zeros((F_PAD - ROW_FEAT - n_feat, CHUNK), jnp.float32),
+        ],
+        axis=0,
+    )  # (F_PAD, CHUNK)
+    new_logT_after = logT_after - jnp.sum(log1m, axis=1, keepdims=True)
+    new_s_carry = s_carry + jnp.sum(wgf, axis=1, keepdims=True)
+    return vfull, new_logT_after, new_s_carry
+
+
+def _bwd_kernel_tb(
+    tile_ids_ref,
+    tile_start_ref,
+    tile_count_ref,
+    tile_count_eff_ref,
+    inst_ref,  # (F_PAD, I_pad) ANY
+    gpack_ref,  # (TB, OUT_ROWS, P)
+    dinst_ref,  # (F_PAD, I_pad) ANY output
+    slab_ref,  # VMEM (2, TB, F_PAD, CHUNK)
+    vslab_ref,  # VMEM (2, TB, F_PAD, CHUNK)
+    in_sem,  # (2, TB)
+    out_sem,  # (2, TB)
+    *,
+    gx: int,
+    n_feat: int,
+    i_pad: int,
+    tb: int,
+    sigma_mm: bool = False,
+):
+    """Backward blend with TB tiles per grid step (amortizes the per-tile
+    fixed grid-step cost like _fwd_kernel_tb). All TB tiles walk their own
+    back-to-front chunk sequence in lockstep iterations; a tile whose
+    (shorter) sequence is exhausted masks its compute and — critically —
+    its OUTGOING DMA (a clamped write would land on chunk 0's region after
+    the correct value and clobber it)."""
+    t = pl.program_id(0)
+    starts = [tile_start_ref[t * tb + b] for b in range(tb)]
+    counts = [tile_count_ref[t * tb + b] for b in range(tb)]
+    ncs = [
+        pl.cdiv(tile_count_eff_ref[t * tb + b], jnp.int32(CHUNK)) for b in range(tb)
+    ]
+    nc = functools.reduce(jnp.maximum, ncs)
+    max_off = i_pad - CHUNK
+
+    if sigma_mm:
+        pixs = [_pixel_monomials(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
+    else:
+        pixs = [_pixel_coords(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
+    sfx_incl = _tri(CHUNK, lambda r, c: r >= c)
+    sfx_excl = _tri(CHUNK, lambda r, c: r > c)
+    lane1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
+
+    g_colors = [gpack_ref[b, 0:n_feat, :] for b in range(tb)]
+    g_Ts = [gpack_ref[b, n_feat : n_feat + 1, :].T for b in range(tb)]
+    T_finals = [gpack_ref[b, n_feat + 1 : n_feat + 2, :].T for b in range(tb)]
+    n_contribs = [
+        gpack_ref[b, n_feat + 2 : n_feat + 3, :].T.astype(jnp.int32)
+        for b in range(tb)
+    ]
+    gT_terms = [g_Ts[b] * T_finals[b] for b in range(tb)]
+
+    def in_dma(b, j, slot):
+        off = jnp.clip(starts[b] + j * CHUNK, 0, max_off)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+            slab_ref.at[slot, b],
+            in_sem.at[slot, b],
+        )
+
+    def out_dma(b, j, slot):
+        off = jnp.clip(starts[b] + j * CHUNK, 0, max_off)
+        return pltpu.make_async_copy(
+            vslab_ref.at[slot, b],
+            dinst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+            out_sem.at[slot, b],
+        )
+
+    for b in range(tb):
+        @pl.when(ncs[b] >= 1)
+        def _(b=b):
+            in_dma(b, ncs[b] - 1, 0).start()
+
+    def body(i, carry):
+        logTs, s_carries = carry  # each (TB, P, 1)
+        slot = i % jnp.int32(2)
+        new_logTs, new_s = [], []
+        for b in range(tb):
+            j = ncs[b] - 1 - i  # this tile's chunk; < 0 once exhausted
+
+            @pl.when(i + 1 < ncs[b])
+            def _(b=b, j=j):
+                in_dma(b, j - 1, 1 - slot).start()
+
+            @pl.when(j >= 0)
+            def _(b=b, j=j):
+                in_dma(b, j, slot).wait()
+
+            slab = slab_ref[slot, b]
+            vfull, lT, sc = _bwd_chunk_math(
+                slab, pixs[b], g_colors[b], gT_terms[b], n_contribs[b],
+                counts[b], j, lane1, sfx_incl, sfx_excl,
+                logTs[b], s_carries[b], sigma_mm=sigma_mm, n_feat=n_feat,
+            )
+            active = j >= 0
+            new_logTs.append(jnp.where(active, lT, logTs[b]))
+            new_s.append(jnp.where(active, sc, s_carries[b]))
+
+            # Reclaim this slot's previous write (chunk j+2) before
+            # overwriting vslab[slot, b]. Only needed when this tile is
+            # about to write (j >= 0); then i >= 2 implies chunk j+2 was
+            # started two iterations ago (0 <= j+2 <= ncs[b]-1 follows).
+            # Chunks 0 and 1 are never reclaimed here — the retirement
+            # loop below waits for exactly those two.
+            @pl.when((i >= 2) & (j >= 0))
+            def _(b=b, j=j):
+                out_dma(b, j + 2, slot).wait()
+
+            @pl.when(active)
+            def _(b=b, j=j, vfull=vfull):
+                vslab_ref[slot, b] = vfull
+                out_dma(b, j, slot).start()
+
+        return jnp.stack(new_logTs), jnp.stack(new_s)
+
+    logT0 = jnp.stack([jnp.log(jnp.maximum(T_finals[b], 1e-30)) for b in range(tb)])
+    s0 = jnp.zeros((tb, P, 1), jnp.float32)
+    jax.lax.fori_loop(0, nc, body, (logT0, s0))
+    # Retire each tile's last (up to two) outgoing DMAs.
+    for b in range(tb):
+        @pl.when(ncs[b] >= 2)
+        def _(b=b):
+            out_dma(b, 1, (ncs[b] - 2) % jnp.int32(2)).wait()
+
+        @pl.when(ncs[b] >= 1)
+        def _(b=b):
+            out_dma(b, 0, (ncs[b] - 1) % jnp.int32(2)).wait()
+
+
 def _blend_bwd_impl(
     inst, tile_start, tile_count, tile_count_eff, gpack, *, grid_wh, n_feat,
-    tile_ids=None, sigma_mm=False,
+    tile_ids=None, sigma_mm=False, tiles_per_step=1,
 ):
     gx, gy = grid_wh
     n_tiles = tile_start.shape[0]
@@ -735,25 +882,67 @@ def _blend_bwd_impl(
     i_pad = inst.shape[0]
     inst = _repack_to_kernel(inst)  # (F_PAD, I_pad), compact
 
+    tb = max(1, tiles_per_step)
+    padt = (-n_tiles) % tb
+    if padt:  # dummy tiles: eff count 0 -> no DMAs, no writes
+        tile_start = jnp.pad(tile_start, (0, padt))
+        tile_count = jnp.pad(tile_count, (0, padt))
+        tile_count_eff = jnp.pad(tile_count_eff, (0, padt))
+        tile_ids = jnp.concatenate([tile_ids, jnp.zeros((padt,), jnp.int32)])
+        gpack = jnp.pad(gpack, ((0, padt), (0, 0), (0, 0)))
+    t_pad = n_tiles + padt
+
+    if tb > 1:
+        # Same padding-waste argument as the forward: group tiles of
+        # similar replay length (no output to unsort — dinst writes land
+        # at each tile's own slab range regardless of processing order).
+        order = jnp.argsort(-tile_count_eff)
+        tile_start = jnp.take(tile_start, order)
+        tile_count = jnp.take(tile_count, order)
+        tile_count_eff = jnp.take(tile_count_eff, order)
+        tile_ids = jnp.take(tile_ids, order)
+        gpack = jnp.take(gpack, order, axis=0)
+
+    if tb == 1:
+        kernel = functools.partial(
+            _bwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad, sigma_mm=sigma_mm
+        )
+        gpack_spec = pl.BlockSpec(
+            (1, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [
+            pltpu.VMEM((2, F_PAD, CHUNK), jnp.float32),
+            pltpu.VMEM((2, F_PAD, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(
+            _bwd_kernel_tb, gx=gx, n_feat=n_feat, i_pad=i_pad, tb=tb,
+            sigma_mm=sigma_mm,
+        )
+        gpack_spec = pl.BlockSpec(
+            (tb, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [
+            pltpu.VMEM((2, tb, F_PAD, CHUNK), jnp.float32),
+            pltpu.VMEM((2, tb, F_PAD, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, tb)),
+            pltpu.SemaphoreType.DMA((2, tb)),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        grid=(t_pad // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            gpack_spec,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((2, F_PAD, CHUNK), jnp.float32),
-            pltpu.VMEM((2, F_PAD, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(
-            _bwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad, sigma_mm=sigma_mm
-        ),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((F_PAD, i_pad), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -815,7 +1004,7 @@ def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, sigma_mm, res, g):
         _blend_bwd_impl(
             inst, tile_start, tile_count, tile_count_eff, gpack,
             grid_wh=grid_wh, n_feat=n_feat, tile_ids=tile_ids,
-            sigma_mm=sigma_mm,
+            sigma_mm=sigma_mm, tiles_per_step=tiles_per_step,
         )
     )
     # Slots outside every processed tile's written range are never touched by

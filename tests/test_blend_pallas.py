@@ -103,9 +103,11 @@ def test_pallas_forward_tiles_per_step(rng, tb):
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
 
 
-def test_pallas_gradients_with_tiles_per_step(rng):
-    """Gradients flow through the batched forward (backward stays per-tile);
-    must equal the TB=1 gradients."""
+@pytest.mark.parametrize("tb", [2, 3])
+def test_pallas_gradients_with_tiles_per_step(rng, tb):
+    """Gradients through the TB-batched forward AND backward kernels must
+    equal TB=1. tb=3 over 4 tiles forces dummy-tile padding and groups of
+    unequal replay length (the masked-DMA paths in _bwd_kernel_tb)."""
     grid = (2, 2)
     n_feat = 3
     inst, starts, counts = make_instances(rng, grid, 300, n_feat, CHUNK)
@@ -119,7 +121,33 @@ def test_pallas_gradients_with_tiles_per_step(rng):
         return jnp.sum(c * c) + jnp.sum(T)
 
     g1 = jax.grad(lambda i_: loss(i_, 1))(jnp.asarray(inst))
+    g2 = jax.grad(lambda i_: loss(i_, tb))(jnp.asarray(inst))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-7)
+
+
+def test_pallas_tb_bwd_early_exit_mixed_lengths(rng):
+    """TB backward with saturated tiles: per-tile replay lengths inside one
+    group differ by several chunks (tile_count_eff), exercising the
+    exhausted-tile masking of compute, in-DMA waits, and out-DMA starts."""
+    grid = (2, 2)
+    n_feat = 3
+    inst, starts, counts = make_instances(
+        rng, grid, 8 * CHUNK, n_feat, CHUNK, opacity_scale=40.0
+    )
+    counts = counts.copy()
+    counts[1] = CHUNK  # one short tile in the first group
+    args = (jnp.asarray(starts), jnp.asarray(counts))
+
+    def loss(i_, tb):
+        c, T, _ = blend_pallas(
+            jnp.asarray(i_), *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK,
+            tiles_per_step=tb,
+        )
+        return jnp.sum(c * c) + jnp.sum(T)
+
+    g1 = jax.grad(lambda i_: loss(i_, 1))(jnp.asarray(inst))
     g2 = jax.grad(lambda i_: loss(i_, 2))(jnp.asarray(inst))
+    assert np.all(np.isfinite(np.asarray(g2)))
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-7)
 
 
