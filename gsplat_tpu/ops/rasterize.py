@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..camera import Camera
 from ..constants import (
+    ALPHA_MIN,
     CHUNK,
     FAR_PLANE,
     NEAR_PLANE,
@@ -189,10 +190,19 @@ def rasterize(
     if means2d_probe is not None:
         mean_2d = mean_2d + means2d_probe
 
+    # Exact-identity opacity cull: alpha = op*G <= op, so a splat with
+    # op < ALPHA_MIN (incl. dead slots at DEAD_OPACITY) can never pass the
+    # blend's alpha >= 1/255 keep test — it contributes nothing and its
+    # gradients are already exactly zero. Dropping its instances here keeps
+    # dead/pruned slots from hogging the instance budget and blend work.
+    radius = jnp.where(
+        jax.lax.stop_gradient(opacities) >= ALPHA_MIN, proj["radius"], 0
+    )
+
     binned = tiles.build_instances(
         mean_2d,
         proj["depth"],
-        proj["radius"],
+        radius,  # aux["radii"] below stays unculled (densify-stats parity)
         grid_wh=config.grid_wh,
         max_instances=config.max_instances,
         chunk=config.chunk,
