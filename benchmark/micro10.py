@@ -90,12 +90,15 @@ def main():
                 i_, s, c, grid_wh=grid, n_feat=3, tiles_per_step=tb, sigma_mm=mm))
             outs[(mm, tb)] = timeit(f"blend fwd   {tag}", fwd, inst, ts, tc)
 
-        def b_loss(i_, mm=mm):
-            color, T, _ = blend_pallas(
-                i_, ts, tc, grid_wh=grid, n_feat=3, sigma_mm=mm)
-            return jnp.sum(color) + jnp.sum(T)
+        for tb in (1, 2, 4):
+            def b_loss(i_, mm=mm, tb=tb):
+                color, T, _ = blend_pallas(
+                    i_, ts, tc, grid_wh=grid, n_feat=3, tiles_per_step=tb,
+                    sigma_mm=mm)
+                return jnp.sum(color) + jnp.sum(T)
 
-        timeit(f"blend fwd+bwd mm={int(mm)}", jax.jit(jax.grad(b_loss)), inst)
+            timeit(f"blend fwd+bwd mm={int(mm)} tb={tb}",
+                   jax.jit(jax.grad(b_loss)), inst)
 
     ref = outs.get((False, 1))
     got = outs.get((True, 1))

@@ -110,6 +110,57 @@ def main():
         d = np.abs(a - b) / scale
         print(f"  grad {k:<14} relmax|d|={d.max():.3e} relmean|d|={d.mean():.3e}")
 
+    # --- new Mosaic surfaces: TB-batched and sigma_mm blend kernels ----------
+    # (interpret mode already proves the math; this proves the LOWERING.)
+    from gsplat_tpu.ops.blend_pallas import blend_pallas
+    from gsplat_tpu.ops import tiles as tiles_mod
+    from gsplat_tpu.ops.rasterize import _gather_instance_table
+
+    cfgp = RasterizerConfig(width=W, height=H, mode="rgb",
+                            max_instances=budget, impl="pallas")
+    proj_f = jax.jit(lambda: project_and_sh_fused(
+        model.points, model.rotations, scales, shs, cam.R, cam.t, cam.focal,
+        pp, res_wh, 3, near_plane=0.2, far_plane=1e10,
+        radius_clip=RADIUS_CLIP, with_normal=False))()
+    grid = cfgp.grid_wh
+    binned = jax.jit(lambda: tiles_mod.build_instances(
+        proj_f["mean_2d"], proj_f["depth"], proj_f["radius"],
+        grid_wh=grid, max_instances=budget, chunk=128))()
+    opa = jax.nn.sigmoid(model.masked_opacities())
+    table = jax.jit(lambda: _gather_instance_table(
+        binned["padded_ids"], proj_f["mean_2d"], proj_f["conic"], opa,
+        proj_f["rgb"]))()
+    ts_, tc_ = binned["tile_start"], binned["tile_count"]
+
+    def bloss(i_, tb, mm):
+        c, T, _ = blend_pallas(i_, ts_, tc_, grid_wh=grid, n_feat=3,
+                               tiles_per_step=tb, sigma_mm=mm)
+        return jnp.sum(c * c) + jnp.sum(T)
+
+    base_out = None
+    base_grad = None
+    for tb, mm in ((1, False), (4, False), (1, True), (4, True)):
+        try:
+            out = jax.jit(lambda i_, tb=tb, mm=mm: blend_pallas(
+                i_, ts_, tc_, grid_wh=grid, n_feat=3, tiles_per_step=tb,
+                sigma_mm=mm))(table)
+            gr = jax.jit(jax.grad(lambda i_, tb=tb, mm=mm: bloss(i_, tb, mm)))(table)
+            c = np.asarray(out[0]); g = np.asarray(gr)
+        except Exception as e:
+            print(f"  blend tb={tb} mm={int(mm)} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+            continue
+        if base_out is None:
+            base_out, base_grad = c, g
+            print(f"  blend tb={tb} mm={int(mm)} baseline ok "
+                  f"(finite={np.isfinite(c).all()})")
+        else:
+            dc = np.abs(c - base_out).max()
+            gs = np.maximum(np.abs(base_grad).max(), 1e-12)
+            dg = (np.abs(g - base_grad) / gs).max()
+            print(f"  blend tb={tb} mm={int(mm)} max|dcolor|={dc:.3e} "
+                  f"relmax|dgrad|={dg:.3e}")
+
 
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}")
