@@ -22,6 +22,8 @@ def _cli():
     t.add_argument("--params", default=None, help="TOML OptimizationParams file")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--max-instances", type=int, default=None)
+    t.add_argument("--antialiased", action="store_true",
+                   help="mip-splatting-style EWA opacity compensation")
     t.add_argument("--profile", default=None, metavar="DIR",
                    help="trace the first steps with the JAX profiler into DIR")
 
@@ -102,6 +104,7 @@ def _cli():
             opt_params=opt, holdout=args.holdout,
             checkpoint=args.checkpoint, ply=args.ply, seed=args.seed,
             max_instances=args.max_instances, profile_dir=args.profile,
+            antialiased=args.antialiased,
         )
     elif args.cmd == "benchmark":
         from .api import benchmark

@@ -39,6 +39,7 @@ def standard_scale(dataset_path: str) -> int:
 
 def _build_trainer(
     dataset, opt_params, strategy_name, *, capacity_factor=4, max_instances=1 << 20, seed=0,
+    antialiased=False,
 ):
     n0 = len(dataset.points)
     model = GaussianModel.create(
@@ -51,7 +52,7 @@ def _build_trainer(
     strategy = create_strategy(strategy_name, seed=seed) if strategy_name else None
     return Trainer(
         model, dataset, opt_params=opt_params, strategy=strategy,
-        max_instances=max_instances, seed=seed,
+        max_instances=max_instances, seed=seed, antialiased=antialiased,
     )
 
 
@@ -69,6 +70,7 @@ def main(
     max_instances: int | None = None,
     seed: int = 0,
     profile_dir: str | None = None,
+    antialiased: bool = False,
 ):
     """Headless training (reference main, GaussianSplatting.jl:120-203).
     `profile_dir` wraps the run in the JAX/XLA profiler (device timeline +
@@ -85,7 +87,10 @@ def main(
         # The chunked-scan fallback on CPU cannot stomach multi-million
         # instance buffers; the Pallas path on TPU can.
         max_instances = 1 << 21 if jax.default_backend() == "tpu" else 1 << 16
-    trainer = _build_trainer(dataset, opt_params, strategy, max_instances=max_instances, seed=seed)
+    trainer = _build_trainer(
+        dataset, opt_params, strategy, max_instances=max_instances, seed=seed,
+        antialiased=antialiased,
+    )
 
     t0 = time.perf_counter()
     if profile_dir:

@@ -57,6 +57,12 @@ class RasterizerConfig:
     near_plane: float = NEAR_PLANE
     far_plane: float = FAR_PLANE
     impl: str = "pallas"  # pallas | scan
+    # Mip-splatting-style antialiasing: multiply opacity by the EWA blur
+    # compensation sqrt(det(Sigma)/det(Sigma+blur)), suppressing the alpha
+    # of dilation-dominated (sub-pixel) splats. The reference computes the
+    # factor but ships with it disconnected (rasterizer.jl:303 passes
+    # `nothing`); off by default for parity.
+    antialiased: bool = False
 
     def __post_init__(self):
         assert self.width % TILE == 0 and self.height % TILE == 0, (
@@ -189,6 +195,11 @@ def rasterize(
     mean_2d = proj["mean_2d"]
     if means2d_probe is not None:
         mean_2d = mean_2d + means2d_probe
+
+    if config.antialiased:
+        # Differentiable through both operands (the fused prologue's VJP
+        # covers the compensation cotangent; tests/test_proj_fused).
+        opacities = opacities * proj["compensation"]
 
     # Exact-identity opacity cull: alpha = op*G <= op, so a splat with
     # op < ALPHA_MIN (incl. dead slots at DEAD_OPACITY) can never pass the

@@ -497,6 +497,7 @@ class Trainer:
         autosave_every: int = 0,
         autosave_path: str | None = None,
         seed: int = 0,
+        antialiased: bool = False,
     ):
         self.dataset = dataset
         self.opt_params = opt_params or OptimizationParams()
@@ -504,6 +505,7 @@ class Trainer:
         self.strategy = strategy
         self.sh_ramp_every = sh_ramp_every
         self.max_instances = max_instances
+        self.antialiased = antialiased
         self.rng = np.random.default_rng(seed)
         self._epoch: list = []
         self._configs: dict = {}
@@ -662,6 +664,7 @@ class Trainer:
                 mode=mode or self.mode,
                 max_instances=self.max_instances,
                 impl=self.impl,
+                antialiased=self.antialiased,
             )
         return self._configs[key]
 

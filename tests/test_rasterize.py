@@ -174,3 +174,50 @@ def test_covisibility_marks_front_not_occluded(rng):
     assert not bool(covis[1])
     # Uncertainty output is exactly the alpha map.
     np.testing.assert_allclose(np.asarray(aux["uncertainty"]), np.asarray(aux["alpha"]))
+
+
+def test_antialiased_compensation(rng):
+    """antialiased=True multiplies opacity by the EWA blur compensation
+    sqrt(det(S)/det(S+blur)): a big splat is barely affected, a sub-pixel
+    splat's alpha collapses toward the dilation-dominated limit; the path
+    is differentiable and off-by-default output is unchanged."""
+    cam = make_camera()
+    # One big splat and one NEEDLE (sub-pixel minor axis — the splat shape
+    # whose aliasing the compensation exists to suppress; an isotropic
+    # sub-pixel splat is already radius-culled at RADIUS_CLIP=3). Far
+    # enough apart that tails don't cross the windows (columns ~50 / ~14).
+    means = jnp.array([[1.2, 0.0, 4.0], [-1.2, 0.0, 4.0]], jnp.float32)
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (2, 1))
+    scales = jnp.array([[0.5, 0.5, 0.5], [0.3, 0.005, 0.005]], jnp.float32)
+    opac = jnp.array([0.9, 0.9], jnp.float32)
+    shs = jnp.asarray(np.asarray(rgb_to_sh_dc(
+        np.array([[1, 0, 0], [0, 1, 0]], np.float32))))[:, None]
+
+    cfg_off = RasterizerConfig(mode="rgbd", **CFG)
+    cfg_on = RasterizerConfig(mode="rgbd", antialiased=True, **CFG)
+    img_off, _ = rasterize(means, quats, scales, opac, shs, camera=cam,
+                           config=cfg_off, sh_degree=0)
+    img_on, aux_on = rasterize(means, quats, scales, opac, shs, camera=cam,
+                               config=cfg_on, sh_degree=0)
+    a_off = np.asarray(img_off[..., 4])
+    a_on = np.asarray(img_on[..., 4])
+    big_off, big_on = a_off[:, 46:54].max(), a_on[:, 46:54].max()
+    tiny_off, tiny_on = a_off[:, 10:18].max(), a_on[:, 10:18].max()
+    comp = np.asarray(aux_on["compensation"])[:2]
+    assert comp[0] > 0.95, comp  # big splat: compensation ~ 1
+    assert comp[1] < 0.4, comp  # sub-pixel splat: dilation-dominated
+    assert abs(big_on - big_off) < 0.05 * big_off
+    assert tiny_off > 0.1, tiny_off  # the tiny splat does render w/o AA
+    assert tiny_on < 0.55 * tiny_off, (tiny_off, tiny_on)
+
+    def loss(op, sc):
+        img, _ = rasterize(means, quats, sc, op, shs, camera=cam,
+                           config=cfg_on, sh_degree=0)
+        return jnp.sum(img[..., :3] ** 2)
+
+    g_op, g_sc = jax.grad(loss, argnums=(0, 1))(opac, scales)
+    assert np.all(np.isfinite(np.asarray(g_op)))
+    assert np.all(np.isfinite(np.asarray(g_sc)))
+    # The tiny splat's scale gradient must include the compensation term
+    # (growing it raises compensation -> nonzero even where G-term is flat).
+    assert np.abs(np.asarray(g_sc)[1]).max() > 0.0
