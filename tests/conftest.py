@@ -19,6 +19,13 @@ if not os.environ.get("GST_TEST_TPU"):
     # need peak CPU matmul throughput — turn oneDNN off for stability.
     if "xla_cpu_use_onednn" not in flags:
         flags = (flags + " --xla_cpu_use_onednn=false").strip()
+    # With oneDNN off the suite still segfaults deterministically inside
+    # backend_compile (train_step recompile after ~150 prior compiles,
+    # tests/test_training.py::test_overflow_rollback_stepwise) — the
+    # XLA:CPU *thunk* runtime this jaxlib defaults to is the remaining
+    # suspect; fall back to the legacy runtime for the suite.
+    if "xla_cpu_use_thunk_runtime" not in flags:
+        flags = (flags + " --xla_cpu_use_thunk_runtime=false").strip()
     os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
