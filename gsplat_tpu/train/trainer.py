@@ -689,9 +689,17 @@ class Trainer:
         vid = self.dataset.train_ids[ti]
         return self.dataset.cameras[vid], self.dataset.images[vid], ti, vid
 
+    _extras_cache: dict | None = None
+
     def _extras_for(self, camera: Camera, vid: int):
         """Per-view auxiliary arrays; absent features arrive as zeros with
-        zero weight (one trace for all views)."""
+        zero weight (one trace for all views). Memoized per view — the
+        arrays are pure functions of (anchor, depth prior, camera), all
+        fixed after setup, and depth_target is device work."""
+        if self._extras_cache is None:
+            self._extras_cache = {}
+        if vid in self._extras_cache:
+            return self._extras_cache[vid]
         H, W = camera.height, camera.width
         ex = {}
         if "depth" in self.features:
@@ -731,6 +739,7 @@ class Trainer:
             rx, ry = pixel_rays(camera)
             ex["rays_x"] = rx
             ex["rays_y"] = ry
+        self._extras_cache[vid] = ex
         return ex
 
     @property
