@@ -151,14 +151,13 @@ def test_pallas_tb_bwd_early_exit_mixed_lengths(rng):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-7)
 
 
-@pytest.mark.parametrize("tb", [1, 2])
-def test_pallas_forward_sigma_mm(rng, tb):
+@pytest.mark.parametrize("tb,n_feat", [(1, 3), (2, 3), (1, 7)])
+def test_pallas_forward_sigma_mm(rng, tb, n_feat):
     """Monomial-basis sigma (one (P,6)@(6,K) MXU matmul per chunk) must match
     the scan spec; the reassociated tile-local form only differs by bounded
     f32 rounding (and by keeping center pixels the direct form would drop on
-    a tiny-negative sigma — none in this data)."""
+    a tiny-negative sigma — none in this data). n_feat=7 covers rgbdn."""
     grid = (3, 2)
-    n_feat = 3
     inst, starts, counts = make_instances(rng, grid, 500, n_feat, CHUNK)
     args = (jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts))
     c_p, T_p, n_p = blend_pallas(
