@@ -382,6 +382,30 @@ class Viewer:
     def _current_model(self):
         return self.model
 
+    def _regrow_on_overflow(self, img, aux, model, cam, config=None):
+        """A truncated (instance-budget overflow) render fills only the
+        lowest tiles and leaves the rest black — grow the budget to the
+        observed demand (+headroom) and re-render, like the Trainer's
+        overflow rollback. Must be called under self._lock."""
+        import dataclasses
+
+        cfg = config or self.config
+        for _ in range(4):
+            if not bool(aux["overflow"]):
+                break
+            demand = int(aux["p_instances"])
+            grown = max(2 * cfg.max_instances, demand * 9 // 8 + 1024)
+            cfg = dataclasses.replace(cfg, max_instances=grown)
+            print(f"[viewer] instance budget overflow (demand {demand}); "
+                  f"growing to {grown}", flush=True)
+            img, aux = render(
+                *model.render_args(), camera=cam, config=cfg,
+                sh_degree=model.max_sh_degree,
+            )
+        if config is None and cfg is not self.config:
+            self.config = cfg
+        return img, aux
+
     def render_frame(self, eye, target) -> bytes:
         from PIL import Image
 
@@ -394,12 +418,13 @@ class Viewer:
         with self._lock:  # single owner of device state
             model = self._current_model()
             t0 = time.perf_counter()
-            img, _ = render(
+            img, aux = render(
                 *model.render_args(),
                 camera=cam,
                 config=self.config,
                 sh_degree=model.max_sh_degree,
             )
+            img, aux = self._regrow_on_overflow(img, aux, model, cam)
             arr = np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8)
             self.last_render_ms = 1000 * (time.perf_counter() - t0)
         buf = BytesIO()
@@ -426,6 +451,7 @@ class Viewer:
                 *model.render_args(), camera=cam, config=cfg,
                 sh_degree=model.max_sh_degree,
             )
+            img, _aux = self._regrow_on_overflow(img, _aux, model, cam, config=cfg)
             x = int(np.clip(px * cfg.width, 0, cfg.width - 1))
             y = int(np.clip(py * cfg.height, 0, cfg.height - 1))
             depth = float(np.asarray(img[y, x, 3]))
