@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..constants import CHUNK
+from ..constants import ALPHA_MIN, CHUNK
 from ..ops import tiles
 from ..ops.rasterize import RasterizerConfig, _assemble_image, _gather_instance_table
 from ..ops.projection import project
@@ -86,8 +86,12 @@ def render_tile_sharded(
         near_plane=config.near_plane, far_plane=config.far_plane,
     )
     rgbs = sh_to_rgb(means, shs, camera.camera_center, sh_degree)
+    # Exact-identity opacity cull (see ops/rasterize.py).
+    radius = jnp.where(
+        jax.lax.stop_gradient(opacities) >= ALPHA_MIN, proj["radius"], 0
+    )
     binned = tiles.build_instances(
-        proj["mean_2d"], proj["depth"], proj["radius"],
+        proj["mean_2d"], proj["depth"], radius,
         grid_wh=config.grid_wh, max_instances=config.max_instances,
         chunk=config.chunk,
     )
