@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
-SCENE = "benchmark/scenes/atrium"
+SCENE = "benchmark/scenes/atrium"  # override with --scene DIR
 
 
 def main():
@@ -27,9 +27,15 @@ def main():
     from gsplat_tpu.data.colmap import load_colmap
     from gsplat_tpu.train.trainer import Trainer
 
-    want = {int(a) for a in sys.argv[1:]} or None
-    dataset = load_colmap(SCENE, scale=1, holdout=8, max_extent=float("inf"))
-    saves = sorted(glob.glob(os.path.join(SCENE, "bench_default-*.safetensors")))
+    args = sys.argv[1:]
+    scene = SCENE
+    if "--scene" in args:
+        i = args.index("--scene")
+        scene = args[i + 1]
+        del args[i : i + 2]
+    want = {int(a) for a in args} or None
+    dataset = load_colmap(scene, scale=1, holdout=8, max_extent=float("inf"))
+    saves = sorted(glob.glob(os.path.join(scene, "bench_default-*.safetensors")))
     rows = []
     for path in saves:
         step = int(re.search(r"-(\d+)\.safetensors$", path).group(1))
@@ -39,7 +45,7 @@ def main():
             path, dataset,
             opt_params=reference_opt_params(),
             strategy=create_strategy("default", seed=0),
-            max_instances=1 << 20,
+            max_instances=1 << 21,
             seed=0,
         )
         v = trainer.validate(quantize=True)
