@@ -90,14 +90,21 @@ def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats):
     whole-row: opacity 0 kills their forward contribution and the mask
     zeroes their cotangents.
     """
+    import os
+
     N = mean_2d.shape[0]
-    ids = jnp.clip(padded_ids, 0, N - 1)
-    m = (padded_ids >= 0).astype(mean_2d.dtype)
     pad_cols = F_PAD - 6 - feats.shape[1]
     pack = jnp.concatenate(
         [mean_2d, conic, opacities[:, None], feats, jnp.zeros((N, pad_cols), mean_2d.dtype)],
         axis=1,
     )  # (N, F_PAD)
+    if os.environ.get("GSPLAT_GATHER_PALLAS", "0") == "1":
+        from . import gather_pallas
+
+        if gather_pallas.fits(N, F_PAD, padded_ids.shape[0]):
+            return gather_pallas.gather_rows(pack, padded_ids)
+    ids = jnp.clip(padded_ids, 0, N - 1)
+    m = (padded_ids >= 0).astype(mean_2d.dtype)
     return jnp.take(pack, ids, axis=0) * m[:, None]
 
 
