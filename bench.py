@@ -32,6 +32,76 @@ BASELINE_STEPS_PER_S = 150.0
 BASELINE_RENDER_FPS = 150.0  # reference worker: ~3.6+2.1 ms/frame readback+render
 
 
+def _autotune(model, cams, budget, mode):
+    """Pick the fastest kernel-variant flags on THIS hardware.
+
+    The blend/gather variants (GSPLAT_BLEND_TB, GSPLAT_BLEND_SIGMA_MM,
+    GSPLAT_GATHER_PALLAS) are read at trace time; each candidate is traced
+    as a fresh closure with the env set, timed over a short fetch-terminated
+    window, and the winner's flags are left in os.environ for the real run.
+    Variants that fail to lower (Mosaic surfaces are hardware-gated) are
+    skipped. Conservative defaults win ties. Disable with BENCH_AUTOTUNE=0.
+    """
+    from gsplat_tpu.ops.rasterize import RasterizerConfig, render
+
+    cfg = RasterizerConfig(
+        width=WIDTH, height=HEIGHT, mode="rgb",
+        max_instances=budget, impl="pallas",
+    )
+    args = model.render_args()
+    reps = 20
+
+    def time_combo(flags):
+        for k, v in flags.items():
+            os.environ[k] = v
+        try:
+            if mode == "render":
+                f = jax.jit(
+                    lambda a, c: render(*a, camera=c, config=cfg, sh_degree=3)[0]
+                )
+                out = f(args, cams[0])
+            else:
+                def loss(a, c):
+                    img, _ = render(*a, camera=c, config=cfg, sh_degree=3)
+                    return jnp.mean(img[..., :3] ** 2)
+
+                f = jax.jit(jax.grad(lambda a, c: loss(a, c)))
+                out = f(args, cams[0])
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            t0 = time.perf_counter()
+            for i in range(reps):
+                out = f(args, cams[i % len(cams)])
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            return (time.perf_counter() - t0) / reps * 1e3
+        except Exception as e:  # variant didn't lower on this hardware
+            print(f"[autotune] {flags} FAILED: {type(e).__name__}", file=sys.stderr)
+            return None
+
+    base = {"GSPLAT_BLEND_TB": "1", "GSPLAT_BLEND_SIGMA_MM": "0",
+            "GSPLAT_GATHER_PALLAS": "0"}
+    # Blend variants interact (both change the kernel); tune jointly.
+    best, best_ms = dict(base), None
+    for tb in ("1", "4"):
+        for mm in ("0", "1"):
+            combo = dict(base, GSPLAT_BLEND_TB=tb, GSPLAT_BLEND_SIGMA_MM=mm)
+            ms = time_combo(combo)
+            print(f"[autotune] tb={tb} mm={mm}: "
+                  f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
+            if ms is not None and (best_ms is None or ms < best_ms * 0.98):
+                best, best_ms = combo, ms
+    # Gather is a separate stage; toggle on top of the best blend combo.
+    g_on = dict(best, GSPLAT_GATHER_PALLAS="1")
+    ms = time_combo(g_on)
+    print(f"[autotune] +gather_pallas: "
+          f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
+    if ms is not None and best_ms is not None and ms < best_ms * 0.98:
+        best, best_ms = g_on, ms
+    for k, v in best.items():
+        os.environ[k] = v
+    print(f"[autotune] chose {best} ({best_ms and round(best_ms, 2)} ms)",
+          file=sys.stderr)
+
+
 def main():
     from gsplat_tpu.camera import Camera, look_at
     from gsplat_tpu.data.colmap import ColmapDataset
@@ -86,6 +156,10 @@ def main():
         train_ids=list(range(8)), test_ids=[], points=pts, colors=cols,
         scales=scales, camera_extent=9.9,
     )
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("BENCH_AUTOTUNE", "1") != "0"):
+        _autotune(model, cams, gt_budget, MODE)
 
     if MODE == "render":
         import jax.numpy as jnp
