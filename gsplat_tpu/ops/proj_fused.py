@@ -78,16 +78,29 @@ def _cam_scalars(cam):
     return R, t, focal, pp, res, sh_degree
 
 
-def _block_math(attr, shs, cam, *, max_degree, with_normal, near, far, radius_clip):
-    """All per-Gaussian math on one (·, G) block. attr (ATTR_ROWS, G),
-    shs (3K, G), cam (1, CAM_COLS). Returns (OUT_ROWS, G)."""
+def _block_math(attr, shs, cam, *, max_degree, with_normal, near, far, radius_clip, w=1):
+    """All per-Gaussian math on one (·, G) block. attr (ATTR_ROWS·w, G/w),
+    shs (3K·w, G/w), cam (1, CAM_COLS). Returns (OUT_ROWS·w, G/w).
+
+    `w` is the sublane width of one logical row: with w=1 every per-Gaussian
+    quantity is a (1, G) slice that occupies a single sublane of each vreg
+    (1/8 VPU utilization); with w=8 the gaussian axis is split 8×(G/8) by a
+    free row-major reshape on the XLA side, every row slice is a full
+    (8, G/8) tile, and the same elementwise chain issues 8× fewer vector
+    instructions. The split is elementwise-consistent across attr/shs/out,
+    so the math is untouched."""
     f32 = jnp.float32
     sg = jax.lax.stop_gradient
     R, t, focal, pp, res, sh_degree = _cam_scalars(cam)
 
-    m = [attr[i : i + 1, :] for i in range(3)]  # world mean rows (1, G)
-    q = [attr[3 + i : 4 + i, :] for i in range(4)]  # w x y z
-    s = [attr[7 + i : 8 + i, :] for i in range(3)]  # activated scales
+    rw = w  # the quaternion unpack below shadows `w`
+
+    def row(a, i):
+        return a[rw * i : rw * (i + 1), :]
+
+    m = [row(attr, i) for i in range(3)]  # world mean rows (w, G/w)
+    q = [row(attr, 3 + i) for i in range(4)]  # w x y z
+    s = [row(attr, 7 + i) for i in range(3)]  # activated scales
 
     # --- quaternion -> rotation (render.jl:322-333) ---
     qn2 = q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3]
@@ -206,7 +219,7 @@ def _block_math(attr, shs, cam, *, max_degree, with_normal, near, far, radius_cl
     for ch in range(3):
         acc = SH_COLOR_SHIFT + F32_EPS
         for k in range(K):
-            acc = acc + basis[k] * shs[3 * k + ch : 3 * k + ch + 1, :]
+            acc = acc + basis[k] * row(shs, 3 * k + ch)
         rgb.append(jnp.maximum(0.0, acc))
 
     rows = [
@@ -264,47 +277,59 @@ def _interpret() -> bool:
 
 
 def _fwd_call(cam, attr, shs, statics):
-    n = attr.shape[1]
+    w = dict(statics)["w"]
+    n = attr.shape[1]  # logical (padded) gaussian count
     k3 = shs.shape[0]
-    return pl.pallas_call(
+    nl, gl = n // w, G // w  # lanes per logical row / per grid step
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, statics=statics),
         grid=(n // G,),
         in_specs=[
             pl.BlockSpec((1, CAM_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ATTR_ROWS, G), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k3, G), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ATTR_ROWS * w, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k3 * w, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((OUT_ROWS, G), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((OUT_ROWS, n), jnp.float32),
+        out_specs=pl.BlockSpec((OUT_ROWS * w, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((OUT_ROWS * w, nl), jnp.float32),
         interpret=_interpret(),
-    )(cam, attr, shs)
+        # (AR, n) -> (AR*w, n/w) is row-major-identical: a free bitcast that
+        # splits each logical row over w sublane rows (see _block_math).
+    )(cam, attr.reshape(ATTR_ROWS * w, nl), shs.reshape(k3 * w, nl))
+    return out.reshape(OUT_ROWS, n)
 
 
 def _bwd_call(cam, attr, shs, g, statics):
+    w = dict(statics)["w"]
     n = attr.shape[1]
     k3 = shs.shape[0]
+    nl, gl = n // w, G // w
     d_attr, d_sh, d_cam = pl.pallas_call(
         functools.partial(_bwd_kernel, statics=statics),
         grid=(n // G,),
         in_specs=[
             pl.BlockSpec((1, CAM_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ATTR_ROWS, G), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k3, G), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((OUT_ROWS, G), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ATTR_ROWS * w, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k3 * w, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT_ROWS * w, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ATTR_ROWS, G), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k3, G), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ATTR_ROWS * w, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k3 * w, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, CAM_COLS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ATTR_ROWS, n), jnp.float32),
-            jax.ShapeDtypeStruct((k3, n), jnp.float32),
+            jax.ShapeDtypeStruct((ATTR_ROWS * w, nl), jnp.float32),
+            jax.ShapeDtypeStruct((k3 * w, nl), jnp.float32),
             jax.ShapeDtypeStruct((n // G, 8, CAM_COLS), jnp.float32),
         ],
         interpret=_interpret(),
-    )(cam, attr, shs, g)
-    return d_attr, d_sh, jnp.sum(d_cam, axis=(0, 1))[None]
+    )(cam, attr.reshape(ATTR_ROWS * w, nl), shs.reshape(k3 * w, nl),
+      g.reshape(OUT_ROWS * w, nl))
+    return (
+        d_attr.reshape(ATTR_ROWS, n),
+        d_sh.reshape(k3, n),
+        jnp.sum(d_cam, axis=(0, 1))[None],
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -373,12 +398,16 @@ def project_and_sh_fused(
     cam = cam.at[0, 16:18].set(jnp.asarray(resolution_wh, jnp.float32))
     cam = cam.at[0, 18].set(jnp.asarray(sh_degree, jnp.float32))
 
+    import os
+
     statics = (
         ("max_degree", max_degree),
         ("with_normal", with_normal),
         ("near", float(near_plane)),
         ("far", float(far_plane)),
         ("radius_clip", float(radius_clip)),
+        # Sublane width of a logical row (see _block_math); 8 = full vregs.
+        ("w", 1 if os.environ.get("GSPLAT_PROLOGUE_WIDE", "1") == "0" else 8),
     )
     out = _proj_sh_packed(cam, attr, shsT, statics)[:, :n]
 
