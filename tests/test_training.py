@@ -415,10 +415,14 @@ def test_blur_matmul_matches_conv_oracle(rng):
 
     from gsplat_tpu.train.losses import _blur, _blur_conv, ssim
 
-    img = jnp.asarray(rng.uniform(0, 1, (64, 48, 15)), jnp.float32)
-    np.testing.assert_allclose(
-        np.asarray(_blur(img)), np.asarray(_blur_conv(img)), rtol=1e-5, atol=1e-6
-    )
+    # (64, 48): single-block path; (136, 122): the bench-resolution divisors
+    # (544=4x136, 976=8x122) exercising multi-block windows both axes;
+    # (37, 41): primes -> full-band fallback.
+    for h, w in ((64, 48), (136, 122), (37, 41)):
+        img = jnp.asarray(rng.uniform(0, 1, (h, w, 15)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(_blur(img)), np.asarray(_blur_conv(img)), rtol=1e-5, atol=1e-6
+        )
     x = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)), jnp.float32)
     y = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)), jnp.float32)
     assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
