@@ -101,6 +101,20 @@ def main():
         timeit(f"gather fwd+bwd {name}",
                jax.jit(jax.grad(lambda p, f=fn: jnp.sum(f(p, ids) * w))), pack)
 
+    # --- SSIM blur: blocked vs full-band ------------------------------------
+    from gsplat_tpu.train import losses
+
+    img = jnp.asarray(rng.uniform(0, 1, (544, 976, 15)).astype(np.float32))
+    x3 = jnp.asarray(rng.uniform(0, 1, (544, 976, 3)).astype(np.float32))
+    y3 = jnp.asarray(rng.uniform(0, 1, (544, 976, 3)).astype(np.float32))
+    orig = losses._block_size
+    for name, bsf in (("blocked", orig), ("full-band", lambda n, **k: 0)):
+        losses._block_size = bsf
+        timeit(f"ssim blur fwd   {name}", jax.jit(losses._blur), img)
+        timeit(f"ssim loss f+bwd {name}",
+               jax.jit(jax.grad(lambda a: losses.ssim(a, y3))), x3)
+    losses._block_size = orig
+
 
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}")
