@@ -97,6 +97,39 @@ def main():
     if gotT is not None and ref is not None:
         print("  allclose:", bool(jnp.allclose(gotT.T, ref)))
 
+    # --- Pallas in-kernel scatter-add probe (the gather-transpose bwd) -------
+    # accumulate ct rows onto a VMEM-resident (N, F) accumulator across the
+    # sequential grid; if `.at[ids].add` lowers, the backward segment-sum
+    # (1.2 ms XLA scatter-add) can ride the same VMEM-resident design.
+    def kernel_scat(ids_ref, ct_ref, o_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        o_ref[:] = o_ref[:].at[ids_ref[:]].add(ct_ref[:])
+
+    def pallas_scatter_add(i, ct):
+        return pl.pallas_call(
+            kernel_scat,
+            grid=(I // BLK,),
+            in_specs=[
+                pl.BlockSpec((BLK,), lambda b: (b,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLK, F), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((N, F), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, F), jnp.float32),
+        )(i, ct)
+
+    ct = jnp.asarray(rng.normal(size=(I, F)).astype(np.float32))
+    sref = timeit("xla scatter-add rows", jax.jit(
+        lambda i, c: jnp.zeros((N, F), jnp.float32).at[i].add(c)), ids, ct)
+    sgot = timeit("pallas scatter-add rows (vmem accum)",
+                  jax.jit(pallas_scatter_add), ids, ct)
+    if sgot is not None and sref is not None:
+        print("  allclose:", bool(jnp.allclose(sgot, sref, atol=1e-3)))
+
     # --- Scatter-max probe: monotone idx (the tiles.py marker scatter) ------
     M = N
     upd_idx = jnp.sort(jnp.asarray(rng.integers(0, I, M).astype(np.int32)))
