@@ -255,16 +255,34 @@ def render_views(
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas" if on_tpu else "scan"
     max_instances = (1 << 21) if on_tpu else (1 << 16)
+    from functools import partial
+
+    # Jitted once per distinct view resolution; one frame kept in flight so
+    # the host-side PNG encode overlaps the next frame's device work.
+    @partial(jax.jit, static_argnames=("cfg",))
+    def fwd(args, cam, cfg):
+        return _render(args[0], args[1], args[2], args[3], args[4], args[5],
+                       camera=cam, config=cfg, sh_degree=model.max_sh_degree)[0]
+
+    args = model.render_args()
+
+    def flush(img, out):
+        arr = np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        Image.fromarray(arr).save(out)
+        print(f"  {out}", flush=True)
+
+    pending = None
     for vid in ids:
         cam = dataset.cameras[vid]
         cfg = RasterizerConfig(
             width=cam.width, height=cam.height, mode=mode,
             max_instances=max_instances, impl=impl,
         )
-        img, _ = _render(*model.render_args(), camera=cam, config=cfg,
-                         sh_degree=model.max_sh_degree)
-        arr = np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8)
-        out = os.path.join(out_dir, os.path.splitext(dataset.names[vid])[0] + ".png")
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        Image.fromarray(arr).save(out)
-        print(f"  {out}", flush=True)
+        img = fwd(args, cam, cfg)
+        if pending is not None:
+            flush(*pending)
+        pending = (img, os.path.join(
+            out_dir, os.path.splitext(dataset.names[vid])[0] + ".png"))
+    if pending is not None:
+        flush(*pending)

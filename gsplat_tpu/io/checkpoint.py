@@ -29,7 +29,12 @@ def _np(x):
 
 def save_checkpoint(path: str, state, camera=None, metadata: dict | None = None) -> None:
     """Save a TrainState (+ optional viewer camera) to safetensors."""
+    import os
+
     from safetensors.numpy import save_file
+
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
 
     model = state.model
     alive = _np(model.alive)

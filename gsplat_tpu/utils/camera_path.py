@@ -164,10 +164,27 @@ def capture_path(
     )
     deg = model.max_sh_degree if sh_degree is None else sh_degree
 
+    # One jitted closure (eager per-frame rendering dispatches every op
+    # through the remote-TPU tunnel) + one frame in flight: dispatch frame
+    # k+1, then fetch frame k — the host-side encode overlaps device work.
+    fwd = jax.jit(
+        lambda args, cam: render(args[0], args[1], args[2], args[3], args[4],
+                                 args[5], camera=cam, config=cfg, sh_degree=deg)[0]
+    )
+    args = model.render_args()
+
+    def to_u8(img):
+        return np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8)
+
     frames = []
+    pending = None
     for cam in path.cameras(base_camera, n_frames):
-        img, _ = render(*model.render_args(), camera=cam, config=cfg, sh_degree=deg)
-        frames.append(np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8))
+        nxt = fwd(args, cam)
+        if pending is not None:
+            frames.append(to_u8(pending))
+        pending = nxt
+    if pending is not None:
+        frames.append(to_u8(pending))
 
     if out.endswith(".mp4"):
         try:
