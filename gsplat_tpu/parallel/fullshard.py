@@ -45,7 +45,7 @@ from jax import shard_map
 from ..constants import ALPHA_MIN, CHUNK
 from ..ops.blend_scan import F_PAD
 from ..ops.projection import project
-from ..ops.rasterize import RasterizerConfig, _assemble_image
+from ..ops.rasterize import RasterizerConfig, _assemble_image, cull_radius
 from ..ops.sh import sh_to_rgb
 from ..ops.tiles import tile_rect
 
@@ -239,11 +239,10 @@ def render_fully_sharded(
             axis=1,
         )  # (N_l, F_PAD)
 
-        # Exact-identity opacity cull (see ops/rasterize.py): op < 1/255 can
-        # never pass the blend's keep test — skip its instance exchange.
-        radius = jnp.where(
-            jax.lax.stop_gradient(opac_l) >= ALPHA_MIN, proj["radius"], 0
-        )
+        # Exact-identity opacity cull + tight radius (ops/rasterize.py):
+        # culled instances can never pass the blend's keep test — skip
+        # their exchange.
+        radius = cull_radius(opac_l, proj["radius"])
         send_rows, send_tile, send_depth, ovf1 = _expand_to_send(
             proj["mean_2d"], proj["depth"], radius, rows,
             grid_wh=config.grid_wh, t_loc=t_loc, n_dest=d, i_ex=i_ex,

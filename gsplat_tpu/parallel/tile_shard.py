@@ -21,7 +21,12 @@ from jax import shard_map
 
 from ..constants import ALPHA_MIN, CHUNK
 from ..ops import tiles
-from ..ops.rasterize import RasterizerConfig, _assemble_image, _gather_instance_table
+from ..ops.rasterize import (
+    RasterizerConfig,
+    _assemble_image,
+    _gather_instance_table,
+    cull_radius,
+)
 from ..ops.projection import project
 from ..ops.sh import sh_to_rgb
 
@@ -86,10 +91,8 @@ def render_tile_sharded(
         near_plane=config.near_plane, far_plane=config.far_plane,
     )
     rgbs = sh_to_rgb(means, shs, camera.camera_center, sh_degree)
-    # Exact-identity opacity cull (see ops/rasterize.py).
-    radius = jnp.where(
-        jax.lax.stop_gradient(opacities) >= ALPHA_MIN, proj["radius"], 0
-    )
+    # Exact-identity opacity cull + tight radius (see ops/rasterize.py).
+    radius = cull_radius(opacities, proj["radius"])
     binned = tiles.build_instances(
         proj["mean_2d"], proj["depth"], radius,
         grid_wh=config.grid_wh, max_instances=config.max_instances,

@@ -221,3 +221,49 @@ def test_antialiased_compensation(rng):
     # The tiny splat's scale gradient must include the compensation term
     # (growing it raises compensation -> nonzero even where G-term is flat).
     assert np.abs(np.asarray(g_sc)[1]).max() > 0.0
+
+
+def test_tight_radius_is_output_identical(rng, monkeypatch):
+    """The opacity-aware radius shrink (rasterize.py) must be an exact
+    identity on image AND gradients: instances it drops are exactly the
+    ones the blend's alpha >= 1/255 keep test discards. Instance demand
+    must strictly shrink on a low-opacity-heavy population (the
+    post-opacity-reset regime the shrink targets)."""
+    means, quats, scales, opac, shs = make_scene(rng, n=120)
+    # Mixed regime: half near the reset floor, some mid, some near-opaque,
+    # a few straddling ALPHA_MIN-ish values.
+    opac = np.concatenate([
+        np.full(60, 0.012, np.float32),
+        rng.uniform(0.02, 0.3, 40).astype(np.float32),
+        rng.uniform(0.8, 0.999, 18).astype(np.float32),
+        np.array([1.0 / 255.0 + 1e-4, 0.0050], np.float32),
+    ])
+    cam = make_camera()
+    cfg = RasterizerConfig(mode="rgb", **CFG)
+
+    def run():
+        def loss(args):
+            img, aux = rasterize(*args, camera=cam, config=cfg, sh_degree=0)
+            return jnp.sum(img ** 2), (img, aux)
+
+        args = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+                jnp.asarray(opac), jnp.asarray(shs))
+        (_, (img, aux)), g = jax.value_and_grad(loss, has_aux=True)(args)
+        assert not bool(aux["overflow"])
+        return np.asarray(img), [np.asarray(x) for x in g], int(aux["p_instances"])
+
+    monkeypatch.setenv("GSPLAT_TIGHT_RADIUS", "0")
+    img0, g0, demand0 = run()
+    monkeypatch.setenv("GSPLAT_TIGHT_RADIUS", "1")
+    img1, g1, demand1 = run()
+
+    # Semantically an identity: every dropped instance fails the blend's
+    # keep test (alpha < 1/255). Numerically, removing zero-alpha slots
+    # shifts the surviving instances across chunk boundaries, regrouping
+    # the per-chunk f32 reductions — tolerances cover that reorder noise
+    # (measured max|d| ~6e-8 on this scene), nothing larger.
+    np.testing.assert_allclose(img0, img1, rtol=0, atol=5e-6)
+    for a, b in zip(g0, g1):
+        scale = max(np.abs(a).max(), 1e-12)
+        np.testing.assert_allclose(b / scale, a / scale, rtol=0, atol=1e-5)
+    assert demand1 < demand0, (demand1, demand0)
