@@ -79,42 +79,62 @@ class RasterizerConfig:
         return blend_features(self.mode)
 
 
-def cull_radius(opacities, radius):
-    """Binning radius after the exact-identity opacity culls.
+def cull_radius(opacities, radius, conic=None):
+    """Binning radius after the exact-identity opacity culls. Returns a
+    scalar (N,) radius, or per-axis (N, 2) radii when `conic` is given
+    (tiles.tile_rect accepts both).
 
     1. Opacity cull: alpha = op*G <= op, so a splat with op < ALPHA_MIN
        (incl. dead slots at DEAD_OPACITY) can never pass the blend's
        alpha >= 1/255 keep test — it contributes nothing and its gradients
        are already exactly zero. Dropping its instances keeps dead/pruned
        slots from hogging the instance budget and blend work.
-    2. Opacity-aware radius shrink (same argument, per distance): conic =
-       Σ_blur⁻¹ has min eigenvalue 1/λ_max, so at pixel distance d,
-       σ ≥ d²/(2 λ_max) and α = op·e^{-σ} < ALPHA_MIN strictly whenever
-       d > √λ_max·√(2 ln(op/ALPHA_MIN)). The projection's radius is
-       ceil(3√λ_max) — the reference's fixed 3σ rect (projection.jl:110) —
-       which over-covers every splat with op < e^{4.5}/255 ≈ 0.35: its
-       instances beyond the exact radius fail the blend's keep test and
-       are pure binning/sort/gather/blend overhead. radius/3 ≥ √λ_max and
-       the ceil keep the shrunken radius conservative, so image AND
-       gradients are identical up to f32 reduction-order noise
+    2. Opacity-aware ellipse bbox (same argument, per pixel): every pixel
+       the blend keeps satisfies σ(d) = ½ dᵀ·conic·d ≤ L := ln(op/ALPHA_MIN),
+       and that ellipse's axis-aligned bbox has half-widths
+       √(2L·Σ_xx), √(2L·Σ_yy) with Σ = conic⁻¹ (Σ_xx = c/det, Σ_yy = a/det)
+       — still separable, so the binning histogram matmul survives. The
+       projection's radius is the reference's fixed 3σ_max square
+       (projection.jl:110), which over-covers BOTH low-opacity splats
+       (op < e^{4.5}/255 ≈ 0.35 ⇒ √(2L) < 3) and anisotropic ones (the
+       square pays σ_max on both axes; trained scenes are full of
+       elongated splats). Capping at the 3σ_max radius preserves the
+       reference's truncation semantics exactly, so image AND gradients
+       are identical up to f32 reduction-order noise
        (tests/test_rasterize.py); only the diagnostic n_contrib ranks
        (positions in the per-tile list) renumber. The +1 compensates
        tile_rect's gpu_cld spelling floor((m+r+15)/16), which undercovers
        a fractional-mean box by up to one pixel on the max side (it equals
        ceil((m+r)/16) only for integer m+r) — the 3σ rect hides that in
        slack, the tight rect must not. GSPLAT_TIGHT_RADIUS=0 restores the
-       fixed 3σ rects.
+       fixed 3σ squares.
     """
     import os
 
     op = jax.lax.stop_gradient(opacities)
     r = radius
     if os.environ.get("GSPLAT_TIGHT_RADIUS", "1") != "0":
-        need = jnp.sqrt(2.0 * jnp.log(jnp.maximum(op, ALPHA_MIN) / ALPHA_MIN))
-        r = jnp.minimum(
-            r, jnp.ceil(r.astype(jnp.float32) / 3.0 * need).astype(r.dtype) + 1
-        )
-    return jnp.where(op >= ALPHA_MIN, r, 0)
+        L2 = 2.0 * jnp.log(jnp.maximum(op, ALPHA_MIN) / ALPHA_MIN)  # 2L
+        if conic is not None:
+            conic = jax.lax.stop_gradient(conic)
+            a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+            det = a * c - b * b
+            safe = jnp.where(det > 0, det, 1.0)
+            rx = jnp.sqrt(jnp.maximum(L2 * c / safe, 0.0))
+            ry = jnp.sqrt(jnp.maximum(L2 * a / safe, 0.0))
+            bbox = jnp.where(
+                (det > 0)[:, None],
+                jnp.ceil(jnp.stack([rx, ry], axis=-1)).astype(r.dtype) + 1,
+                r[:, None],
+            )
+            r = jnp.minimum(r[:, None], bbox)
+        else:
+            need = jnp.sqrt(L2)
+            r = jnp.minimum(
+                r, jnp.ceil(r.astype(jnp.float32) / 3.0 * need).astype(r.dtype) + 1
+            )
+    mask = op >= ALPHA_MIN
+    return jnp.where(mask[:, None] if r.ndim == 2 else mask, r, 0)
 
 
 def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats):
@@ -246,7 +266,7 @@ def rasterize(
         # covers the compensation cotangent; tests/test_proj_fused).
         opacities = opacities * proj["compensation"]
 
-    radius = cull_radius(opacities, proj["radius"])
+    radius = cull_radius(opacities, proj["radius"], proj["conic"])
 
     binned = tiles.build_instances(
         mean_2d,

@@ -43,22 +43,30 @@ def tile_grid(width: int, height: int) -> tuple[int, int]:
 def tile_rect(mean_2d, radius, grid_wh):
     """Tile bbox [rmin, rmax) of a splat. Reference: get_rect (utils.jl:18-29).
 
-    mean_2d: (..., 2) float; radius: (...,) int32; grid_wh: (2,) int.
-    Returns rmin, rmax int32 arrays of shape (..., 2).
+    mean_2d: (..., 2) float; radius: (...,) int32 — or (..., 2) for
+    per-axis radii (the opacity-aware ellipse bbox, rasterize.cull_radius);
+    grid_wh: (2,) int. Returns rmin, rmax int32 arrays of shape (..., 2).
     """
     g = jnp.asarray(grid_wh, jnp.int32)
-    r = radius.astype(jnp.float32)[..., None]
+    r = radius.astype(jnp.float32)
+    if r.ndim != mean_2d.ndim:
+        r = r[..., None]
     rmin = jnp.clip(jnp.floor((mean_2d - r) / TILE).astype(jnp.int32), 0, g)
     # gpu_cld: trunc(floor((x + 15) / 16)) computed in f32.
     rmax = jnp.clip(jnp.floor((mean_2d + r + (TILE - 1)) / TILE).astype(jnp.int32), 0, g)
     return rmin, rmax
 
 
+def _radius_pos(radius):
+    """Live mask for scalar or per-axis radii."""
+    return radius > 0 if radius.ndim == 1 else jnp.all(radius > 0, axis=-1)
+
+
 def count_tiles(mean_2d, radius, grid_wh):
     """Tiles overlapped per Gaussian (0 for culled). utils.jl:122-142."""
     rmin, rmax = tile_rect(mean_2d, radius, grid_wh)
     area = (rmax[..., 0] - rmin[..., 0]) * (rmax[..., 1] - rmin[..., 1])
-    return jnp.where(radius > 0, jnp.maximum(area, 0), 0)
+    return jnp.where(_radius_pos(radius), jnp.maximum(area, 0), 0)
 
 
 @partial(jax.jit, static_argnames=("grid_wh", "max_instances", "chunk"))
@@ -96,7 +104,8 @@ def build_instances(
 
     rmin, rmax = tile_rect(mean_2d, radius, grid_wh)
     rect_w = rmax[:, 0] - rmin[:, 0]
-    counts = jnp.where(radius > 0, jnp.maximum(rect_w * (rmax[:, 1] - rmin[:, 1]), 0), 0)
+    rpos = _radius_pos(radius)
+    counts = jnp.where(rpos, jnp.maximum(rect_w * (rmax[:, 1] - rmin[:, 1]), 0), 0)
 
     cum = jnp.cumsum(counts)
     total = cum[-1] if N > 0 else jnp.int32(0)
@@ -109,7 +118,7 @@ def build_instances(
     # the MXU (0.05 ms at 1M gaussians) replaces a 4N-corner scatter-add or
     # a post-sort searchsorted (2.9 ms at 400k instances on v5e) — and it is
     # exact under truncation, unlike anything derived from a clipped array.
-    live = (radius > 0) & (counts > 0)
+    live = rpos & (counts > 0)
     ix = jnp.arange(gx, dtype=jnp.int32)[None, :]
     iy = jnp.arange(gy, dtype=jnp.int32)[None, :]
     X = ((ix >= rmin[:, :1]) & (ix < rmax[:, :1]) & live[:, None]).astype(jnp.float32)

@@ -47,7 +47,7 @@ from ..ops.blend_scan import F_PAD
 from ..ops.projection import project
 from ..ops.rasterize import RasterizerConfig, _assemble_image, cull_radius
 from ..ops.sh import sh_to_rgb
-from ..ops.tiles import tile_rect
+from ..ops.tiles import _radius_pos, tile_rect
 
 _U32_MAX = jnp.uint32(0xFFFFFFFF)
 
@@ -71,7 +71,8 @@ def _expand_to_send(mean_2d, depth, radius, rows, *, grid_wh, t_loc, n_dest, i_e
     rmin, rmax = tile_rect(mean_2d, radius, grid_wh)
     gx = grid_wh[0]
     rect_w = rmax[:, 0] - rmin[:, 0]
-    counts = jnp.where(radius > 0, jnp.maximum(rect_w * (rmax[:, 1] - rmin[:, 1]), 0), 0)
+    rpos = _radius_pos(radius)
+    counts = jnp.where(rpos, jnp.maximum(rect_w * (rmax[:, 1] - rmin[:, 1]), 0), 0)
     cum = jnp.cumsum(counts)
     total = cum[-1] if n_l > 0 else jnp.int32(0)
     offsets = cum - counts
@@ -79,7 +80,7 @@ def _expand_to_send(mean_2d, depth, radius, rows, *, grid_wh, t_loc, n_dest, i_e
     # Per-destination send counts: the separable per-tile matmul histogram
     # (tiles.py:105-120), segment-summed over each destination's tile range.
     gy = grid_wh[1]
-    live = (radius > 0) & (counts > 0)
+    live = rpos & (counts > 0)
     ix = jnp.arange(gx, dtype=jnp.int32)[None, :]
     iy = jnp.arange(gy, dtype=jnp.int32)[None, :]
     X = ((ix >= rmin[:, :1]) & (ix < rmax[:, :1]) & live[:, None]).astype(jnp.float32)
@@ -242,7 +243,7 @@ def render_fully_sharded(
         # Exact-identity opacity cull + tight radius (ops/rasterize.py):
         # culled instances can never pass the blend's keep test — skip
         # their exchange.
-        radius = cull_radius(opac_l, proj["radius"])
+        radius = cull_radius(opac_l, proj["radius"], proj["conic"])
         send_rows, send_tile, send_depth, ovf1 = _expand_to_send(
             proj["mean_2d"], proj["depth"], radius, rows,
             grid_wh=config.grid_wh, t_loc=t_loc, n_dest=d, i_ex=i_ex,

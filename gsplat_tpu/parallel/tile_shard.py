@@ -92,7 +92,7 @@ def render_tile_sharded(
     )
     rgbs = sh_to_rgb(means, shs, camera.camera_center, sh_degree)
     # Exact-identity opacity cull + tight radius (see ops/rasterize.py).
-    radius = cull_radius(opacities, proj["radius"])
+    radius = cull_radius(opacities, proj["radius"], proj["conic"])
     binned = tiles.build_instances(
         proj["mean_2d"], proj["depth"], radius,
         grid_wh=config.grid_wh, max_instances=config.max_instances,
