@@ -4,8 +4,9 @@ Maps the training-quality trajectory from the step-suffixed autosaves the
 benchmark() protocol leaves behind — diagnosis tool for quality regressions
 (e.g. opacity-reset recovery) without re-running training.
 
-Usage: /opt/venv/bin/python benchmark/eval_ckpts.py [steps ...]
-  (defaults to every autosave found for the default strategy)
+Usage: /opt/venv/bin/python benchmark/eval_ckpts.py [steps ...] [--scene DIR]
+  (defaults to every autosave found for the default strategy in
+  benchmark/scenes/atrium; --scene points at another scene's autosaves)
 """
 import glob
 import json
@@ -29,10 +30,17 @@ def main():
 
     args = sys.argv[1:]
     scene = SCENE
-    if "--scene" in args:
-        i = args.index("--scene")
-        scene = args[i + 1]
-        del args[i : i + 2]
+    scene_args = [a for a in args if a.startswith("--scene")]
+    for tok in scene_args:
+        i = args.index(tok)
+        if tok.startswith("--scene="):
+            scene = tok.split("=", 1)[1]
+            del args[i]
+        else:
+            if i + 1 >= len(args):
+                sys.exit("usage: --scene DIR (missing DIR)")
+            scene = args[i + 1]
+            del args[i : i + 2]
     want = {int(a) for a in args} or None
     dataset = load_colmap(scene, scale=1, holdout=8, max_extent=float("inf"))
     saves = sorted(glob.glob(os.path.join(scene, "bench_default-*.safetensors")))
