@@ -28,19 +28,10 @@ def main():
     from gsplat_tpu.data.colmap import load_colmap
     from gsplat_tpu.train.trainer import Trainer
 
+    from _cli import pop_scene
+
     args = sys.argv[1:]
-    scene = SCENE
-    scene_args = [a for a in args if a.startswith("--scene")]
-    for tok in scene_args:
-        i = args.index(tok)
-        if tok.startswith("--scene="):
-            scene = tok.split("=", 1)[1]
-            del args[i]
-        else:
-            if i + 1 >= len(args):
-                sys.exit("usage: --scene DIR (missing DIR)")
-            scene = args[i + 1]
-            del args[i : i + 2]
+    scene = pop_scene(args, SCENE)
     want = {int(a) for a in args} or None
     dataset = load_colmap(scene, scale=1, holdout=8, max_extent=float("inf"))
     saves = sorted(glob.glob(os.path.join(scene, "bench_default-*.safetensors")))

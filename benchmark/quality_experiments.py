@@ -53,12 +53,10 @@ def e2_resume(ds):
     return rows
 
 
-def _fresh(ds, strategy, max_sh_degree=3, n_steps=7000, evals=(1400, 3500, 7000),
+def _fresh(ds, strategy, max_sh_degree=3, evals=(1400, 3500, 7000),
            antialiased=False):
-    import numpy as np
-
     from gsplat_tpu.api import create_strategy, reference_opt_params
-    from gsplat_tpu.models.gaussians import GaussianModel, initial_scales
+    from gsplat_tpu.models.gaussians import GaussianModel
     from gsplat_tpu.train.trainer import Trainer
 
     model = GaussianModel.create(

@@ -13,19 +13,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _cli import pop_scene
+
 args = sys.argv[1:]
-scene = "benchmark/scenes/atrium_hd"
-scene_args = [a for a in args if a.startswith("--scene")]
-for tok in scene_args:
-    i = args.index(tok)
-    if tok.startswith("--scene="):
-        scene = tok.split("=", 1)[1]
-        del args[i]
-    else:
-        if i + 1 >= len(args):
-            sys.exit("usage: --scene DIR (missing DIR)")
-        scene = args[i + 1]
-        del args[i : i + 2]
+scene = pop_scene(args, "benchmark/scenes/atrium_hd")
 n_steps = int(args[0]) if args else 30_000
 strategies = tuple(args[1:]) or ("default", "mcmc")
 

@@ -272,17 +272,15 @@ def render_views(
         Image.fromarray(arr).save(out)
         print(f"  {out}", flush=True)
 
-    pending = None
-    for vid in ids:
+    from .utils.pipeline import pipelined
+
+    def dispatch(vid):
         cam = dataset.cameras[vid]
         cfg = RasterizerConfig(
             width=cam.width, height=cam.height, mode=mode,
             max_instances=max_instances, impl=impl,
         )
-        img = fwd(args, cam, cfg)
-        if pending is not None:
-            flush(*pending)
-        pending = (img, os.path.join(
-            out_dir, os.path.splitext(dataset.names[vid])[0] + ".png"))
-    if pending is not None:
-        flush(*pending)
+        return fwd(args, cam, cfg), os.path.join(
+            out_dir, os.path.splitext(dataset.names[vid])[0] + ".png")
+
+    pipelined(ids, dispatch, lambda p: flush(*p))

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..constants import ALPHA_MIN, CHUNK
+from ..constants import CHUNK
 from ..ops.blend_scan import F_PAD
 from ..ops.projection import project
 from ..ops.rasterize import RasterizerConfig, _assemble_image, cull_radius

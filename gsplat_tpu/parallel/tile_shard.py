@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..constants import ALPHA_MIN, CHUNK
+from ..constants import CHUNK
 from ..ops import tiles
 from ..ops.rasterize import (
     RasterizerConfig,

@@ -176,15 +176,12 @@ def capture_path(
     def to_u8(img):
         return np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8)
 
+    from .pipeline import pipelined
+
     frames = []
-    pending = None
-    for cam in path.cameras(base_camera, n_frames):
-        nxt = fwd(args, cam)
-        if pending is not None:
-            frames.append(to_u8(pending))
-        pending = nxt
-    if pending is not None:
-        frames.append(to_u8(pending))
+    pipelined(path.cameras(base_camera, n_frames),
+              lambda cam: fwd(args, cam),
+              lambda img: frames.append(to_u8(img)))
 
     if out.endswith(".mp4"):
         try:

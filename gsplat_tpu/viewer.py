@@ -402,8 +402,12 @@ class Viewer:
                 *model.render_args(), camera=cam, config=cfg,
                 sh_degree=model.max_sh_degree,
             )
-        if config is None and cfg is not self.config:
-            self.config = cfg
+        # Persist the grown budget even when rendering under a mode override
+        # (e.g. pick_point's rgbd config) so the next render/pick doesn't
+        # repeat the grow loop and its recompiles.
+        if cfg.max_instances > self.config.max_instances:
+            self.config = dataclasses.replace(
+                self.config, max_instances=cfg.max_instances)
         return img, aux
 
     def render_frame(self, eye, target) -> bytes:

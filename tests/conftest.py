@@ -40,6 +40,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # pytest.ini's `-n 2` exists for the CPU suite (halves wall-clock and
+    # keeps each process under the XLA:CPU compile-count crash threshold).
+    # On real TPU hardware it would launch two concurrent JAX processes
+    # against the single-chip tunnel — which wedges it (CLAUDE.md) — so the
+    # TPU mode force-downgrades xdist to in-process serial execution.
+    # This hook runs before pytest-xdist's own pytest_configure (conftest
+    # plugins are registered last, hooks are called LIFO), so clearing the
+    # options here prevents DSession from ever being installed.
+    if os.environ.get("GST_TEST_TPU") and getattr(config.option, "dist", "no") != "no":
+        config.option.dist = "no"
+        config.option.numprocesses = 0
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
