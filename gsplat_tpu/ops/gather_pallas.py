@@ -33,12 +33,40 @@ _BLK = 1024
 _VMEM_PACK_LIMIT = 12 * 1024 * 1024
 
 
+_lowers_cache: bool | None = None
+
+
+def _lowers() -> bool:
+    """One-time probe: does Mosaic lower the in-kernel vectorized take?
+
+    Measured on real hardware (benchmark/micro9.py, 2026-08): current Mosaic
+    rejects jnp.take with indices whose shape differs from the operand's
+    ("Shape mismatch in input, indices and output") on both row and lane
+    axes, and has no scatter-add lowering either — so the VMEM-resident
+    gather cannot be built yet. This probe keeps the opt-in flag harmless:
+    callers silently fall back to the XLA take until a jaxlib that lowers
+    dynamic gather arrives (interpret mode, used by the CPU suite, always
+    passes).
+    """
+    global _lowers_cache
+    if _lowers_cache is None:
+        try:
+            pack = jnp.zeros((8, 8), jnp.float32)
+            ids = jnp.zeros((_BLK,), jnp.int32)
+            _fwd_impl(pack, ids, _probe=True).block_until_ready()
+            _lowers_cache = True
+        except Exception:
+            _lowers_cache = False
+    return _lowers_cache
+
+
 def fits(n_rows: int, n_cols: int, i_pad: int) -> bool:
     """Can gather_rows handle a (n_rows, n_cols) pack with i_pad slot ids?"""
     return (
         n_rows * n_cols * 4 <= _VMEM_PACK_LIMIT
         and n_rows % 8 == 0
         and i_pad % _BLK == 0
+        and _lowers()
     )
 
 
@@ -50,10 +78,10 @@ def _kernel(ids_ref, pack_ref, o_ref):
     o_ref[:] = rows * (ids >= 0).astype(rows.dtype)[:, None]
 
 
-def _fwd_impl(pack, ids):
+def _fwd_impl(pack, ids, _probe: bool = False):
     (i_pad,) = ids.shape
     n, f = pack.shape
-    assert fits(n, f, i_pad), (n, f, i_pad)
+    assert _probe or fits(n, f, i_pad), (n, f, i_pad)
     return pl.pallas_call(
         _kernel,
         grid=(i_pad // _BLK,),
