@@ -102,7 +102,8 @@ def main():
 
     x = np.linspace(1e-4, 0.99, 1024, dtype=np.float32).reshape(8, 128)
     y_pl = pl.pallas_call(
-        k, out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32))(jnp.asarray(x))
+        k, out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        interpret=jax.default_backend() != "tpu")(jnp.asarray(x))
     y_np = np.exp(np.log1p(-x.astype(np.float64)) * 8.0)
     rel = np.abs(np.asarray(y_pl, np.float64) - y_np) / np.maximum(y_np, 1e-30)
     print(f"  pallas exp(8*log1p(-a)) relmax={rel.max():.3e} relmean={rel.mean():.3e}")

@@ -176,6 +176,8 @@ def _cli():
 
         model = _load_model(args.model)
         path = CameraPath.load(args.path_toml)
+        # Keyframes carry their own intrinsics (fov per keyframe) — the base
+        # camera's focal is only the fallback for legacy paths without them.
         base = Camera.create(
             width=args.width, height=args.height,
             focal=np.array([0.8 * args.width, 0.8 * args.width], np.float32),

@@ -51,11 +51,25 @@ def _lowers() -> bool:
     global _lowers_cache
     if _lowers_cache is None:
         try:
-            pack = jnp.zeros((8, 8), jnp.float32)
+            # Production-shaped probe: the rasterizer gathers (N, 16) rows,
+            # so probe with a representative (1024, 16) pack — a tiny-shape
+            # probe could pass while the real call's shapes still get
+            # rejected by a future Mosaic.
+            pack = jnp.zeros((1024, 16), jnp.float32)
             ids = jnp.zeros((_BLK,), jnp.int32)
             _fwd_impl(pack, ids, _probe=True).block_until_ready()
             _lowers_cache = True
-        except Exception:
+        except Exception as e:
+            # Warn ONCE with the actual error so a genuine kernel regression
+            # (vs the known Mosaic take rejection) is distinguishable; the
+            # opt-in path then silently falls back to the XLA take.
+            import warnings
+
+            warnings.warn(
+                "gather_pallas disabled for this process: in-kernel gather "
+                f"failed to lower ({type(e).__name__}: {e})",
+                stacklevel=2,
+            )
             _lowers_cache = False
     return _lowers_cache
 

@@ -925,7 +925,7 @@ class Trainer:
             for (s, inp, _) in old:
                 self._replay.append((s, inp, self._dispatch_step(inp)))
         m = None
-        for (s, _, _), row in zip(self._replay, rows):
+        for (s, inp, _), row in zip(self._replay, rows):
             m = self._unpack_row(row)
             terms = dict(m["terms"])
             terms["total"] = m["loss"]
@@ -938,7 +938,8 @@ class Trainer:
                 from ..utils.debug import debug_enabled
 
                 if debug_enabled():
-                    msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
+                    msg += ("\n(set GST_DEBUG=0 to skip forensics)\n"
+                            + self._forensics_stepwise(s, inp))
                 raise FloatingPointError(msg)
         self._replay = []
         self._replay_state = None
@@ -1101,9 +1102,11 @@ class Trainer:
         )
         return packs
 
-    def _record_chunk(self, at_step: int, packed):
+    def _record_chunk(self, at_step: int, packed, *, snapshot=None, inputs=None):
         """Record an untruncated chunk's per-step metrics; abort on the
-        FIRST non-finite loss (every row is checked, not only the last)."""
+        FIRST non-finite loss (every row is checked, not only the last).
+        `snapshot`/`inputs` (the pre-chunk state and the chunk's dispatch
+        inputs) let the forensics replay the EXACT failing step."""
         m = None
         for j, row in enumerate(packed):
             m = self._unpack_row(row)
@@ -1118,7 +1121,8 @@ class Trainer:
                 from ..utils.debug import debug_enabled
 
                 if debug_enabled():
-                    msg += "\n(set GST_DEBUG=0 to skip forensics)\n" + self._forensics()
+                    msg += ("\n(set GST_DEBUG=0 to skip forensics)\n"
+                            + self._forensics_chunk(snapshot, inputs, j))
                 raise FloatingPointError(msg)
         self._last_metrics = m
         self._consider_shrink(int(np.max(packed[:, 13])))
@@ -1196,7 +1200,10 @@ class Trainer:
             for s in successors:
                 s["snapshot"] = self.state
                 s["packs"] = self._dispatch_chunk(s["inputs"])
-        m = self._record_chunk(chunk["step"], packed)
+        m = self._record_chunk(
+            chunk["step"], packed,
+            snapshot=chunk["snapshot"], inputs=chunk["inputs"],
+        )
         if self.strategy is not None:
             from .strategy import MCMCStrategy
 
@@ -1256,26 +1263,89 @@ class Trainer:
         self._drain_metrics()
         return self.state
 
-    def _forensics(self) -> str:
-        """Re-run the last step's gradients eagerly and report the offending
-        rows (reference nonfinite_gradient_report, training.jl:534-573)."""
+    def _forensics_stepwise(self, s: int, inp: dict) -> str:
+        """Deterministic forensics for the stepwise path: rebuild the exact
+        pre-failing-step state by re-dispatching the recorded prefix from the
+        pre-batch snapshot, then replay the failing step's own view."""
+        try:
+            if self._replay_state is not None:
+                self.state = self._replay_state
+                for (s2, inp2, _) in self._replay:
+                    if s2 >= s:
+                        break
+                    self._dispatch_step(inp2)
+        except Exception:
+            pass  # fall through with whatever state we have
+        return self._forensics(
+            camera=inp["camera"], image=inp["image"], sh_degree=inp["sh_degree"]
+        )
+
+    def _forensics_chunk(self, snapshot, inputs, j: int) -> str:
+        """Deterministic forensics for the chunked path: re-run the first j
+        steps of the failing chunk from the pre-chunk snapshot (sub-chunk
+        recompile is fine — this is an abort path), then replay step j's
+        view from the chunk's own batched inputs."""
+        if snapshot is None or inputs is None:
+            return self._forensics()
+        try:
+            self.state = snapshot
+            if j > 0:
+                self._dispatch_chunk(self._slice_chunk_inputs(inputs, j))
+            camera = jax.tree_util.tree_map(lambda x: x[j], inputs["cam_b"])
+            if inputs["target_ids"] is not None:
+                image = inputs["targets_b"][int(inputs["target_ids"][j])]
+            else:
+                image = inputs["targets_b"][j]
+            return self._forensics(
+                camera=camera, image=image, sh_degree=int(inputs["sh_degrees"][j])
+            )
+        except Exception as e:
+            return f"(forensics replay failed: {e})"
+
+    @staticmethod
+    def _slice_chunk_inputs(inp: dict, j: int) -> dict:
+        """A chunk-inputs dict restricted to its first j steps."""
+        out = dict(inp)
+        out["cam_b"] = jax.tree_util.tree_map(lambda x: x[:j], inp["cam_b"])
+        for k in ("bgs", "sh_degrees", "tis"):
+            out[k] = inp[k][:j]
+        if inp["ex_b"]:
+            out["ex_b"] = jax.tree_util.tree_map(lambda x: x[:j], inp["ex_b"])
+        if inp["target_ids"] is not None:
+            out["target_ids"] = inp["target_ids"][:j]
+        else:
+            out["targets_b"] = inp["targets_b"][:j]
+        return out
+
+    def _forensics(self, camera=None, image=None, sh_degree=None, state=None) -> str:
+        """Re-run a step's gradients eagerly and report the offending rows
+        (reference nonfinite_gradient_report, training.jl:534-573).
+
+        Callers pass the EXACT failing step's (camera, image, sh_degree) and
+        the reconstructed pre-failing-step state so the report is
+        deterministic — without them it falls back to the next epoch view,
+        which may not reproduce the non-finite value at all."""
         from ..utils.debug import nonfinite_gradient_report
 
         try:
-            camera, image, ti, vid = self._next_view()
+            if camera is None:
+                camera, image, _ti, _vid = self._next_view()
+            if sh_degree is None:
+                sh_degree = self.sh_degree
+            model = (state or self.state).model
             cfg = self.config_for(camera)
-            params = self.state.model.params()
+            params = model.params()
 
             def loss_fn(params):
-                model = self.state.model.replace_params(params)
+                m = model.replace_params(params)
                 img, _ = render(
-                    *model.render_args(), camera=camera, config=cfg,
-                    sh_degree=self.sh_degree,
+                    *m.render_args(), camera=camera, config=cfg,
+                    sh_degree=sh_degree,
                 )
                 return photometric_loss(img[..., :3], jnp.asarray(image))[0]
 
             grads = jax.grad(loss_fn)(params)
-            return nonfinite_gradient_report(grads, self.state.model)
+            return nonfinite_gradient_report(grads, model)
         except Exception as e:  # forensics must never mask the original error
             return f"(forensics failed: {e})"
 
@@ -1347,18 +1417,41 @@ class Trainer:
         overflow = False
         p_inst = 0
         sky_dc = self.state.aux.get("sky_dc") if self.sky is not None else None
+        import dataclasses
+
+        grown_budget = None  # eval-local budget growth; train budget untouched
         for vid in self.dataset.test_ids:
             cam = self.dataset.cameras[vid]
-            out = eval_view(
-                self.state.model,
-                cam,
-                jnp.asarray(self.dataset.images[vid]),
-                self.sh_degree,
-                config=self.config_for(cam),
-                quantize=quantize,
-                sky=self.sky,
-                sky_dc=sky_dc,
-            )
+            cfg = self.config_for(cam)
+            if grown_budget is not None and grown_budget > cfg.max_instances:
+                cfg = dataclasses.replace(cfg, max_instances=grown_budget)
+            for _retry in range(4):
+                out = eval_view(
+                    self.state.model,
+                    cam,
+                    jnp.asarray(self.dataset.images[vid]),
+                    self.sh_degree,
+                    config=cfg,
+                    quantize=quantize,
+                    sky=self.sky,
+                    sky_dc=sky_dc,
+                )
+                if not bool(out["overflow"]):
+                    break
+                # A truncated render silently deflates the metrics — retry
+                # this view with an eval-only grown budget (kept for the
+                # remaining views; one recompile per distinct budget).
+                demand = int(out["p_instances"])
+                target = max(self._fit_budget(demand), cfg.max_instances * 3 // 2)
+                target = -(-target // 1024) * 1024
+                print(
+                    f"[trainer] validate: instance budget overflow (demand "
+                    f"{demand} > {cfg.max_instances}); retrying the view at "
+                    f"{target}",
+                    flush=True,
+                )
+                cfg = dataclasses.replace(cfg, max_instances=target)
+                grown_budget = target
             for k in acc:
                 acc[k] += float(out[k])
             overflow = overflow or bool(out["overflow"])
@@ -1369,9 +1462,8 @@ class Trainer:
         res["p_instances"] = p_inst
         if overflow:
             print(
-                f"[trainer] validate: instance budget overflow "
-                f"(demand {p_inst} > {self.max_instances}); metrics are "
-                "computed on TRUNCATED renders — raise max_instances.",
+                f"[trainer] validate: instance budget overflow persisted "
+                f"(demand {p_inst}); metrics include TRUNCATED renders.",
                 flush=True,
             )
         return res

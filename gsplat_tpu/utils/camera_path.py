@@ -77,21 +77,42 @@ def catmull_rom(p0, p1, p2, p3, t: float) -> np.ndarray:
 
 @dataclass
 class CameraPath:
-    """Ordered keyframes of (c2w position, c2w rotation quaternion)."""
+    """Ordered keyframes of (c2w position, c2w rotation quaternion, fov).
+
+    Keyframes carry the capturing camera's intrinsics as (fov_x, fov_y) —
+    resolution-independent, like the reference's NU.CameraKeyframe which
+    stores the GUI camera's intrinsics (gui/camera_path.jl:75) — so a
+    capture of a dataset-fit path reproduces the dataset's field of view
+    at any output resolution. Paths loaded from older TOMLs (no `fov`
+    key) fall back to the base camera's intrinsics."""
 
     positions: list = field(default_factory=list)  # world-space camera centers
     quats: list = field(default_factory=list)  # c2w rotation (w, x, y, z)
+    fovs: list = field(default_factory=list)  # (fov_x, fov_y) radians, or None
 
     def append(self, camera: Camera) -> None:
+        from ..camera import focal2fov
+
         R_c2w = np.asarray(camera.R).T
         self.positions.append(np.asarray(camera.camera_center, np.float64).copy())
         self.quats.append(rotmat_to_quat(R_c2w))
+        fx, fy = np.asarray(camera.focal, np.float64)
+        self.fovs.append(
+            np.array([focal2fov(fx, camera.width), focal2fov(fy, camera.height)])
+        )
 
     def __len__(self):
         return len(self.positions)
 
+    def _has_fovs(self) -> bool:
+        return len(self.fovs) == len(self.positions) and all(
+            f is not None for f in self.fovs
+        )
+
     def sample(self, u: float):
-        """Pose at path parameter u in [0, 1]. Returns (R_w2c, t_w2c)."""
+        """Pose at path parameter u in [0, 1]. Returns (R_w2c, t_w2c, fov)
+        with fov = (fov_x, fov_y) linearly interpolated, or None when the
+        path has no stored intrinsics."""
         n = len(self)
         assert n >= 2, "need at least 2 keyframes"
         s = u * (n - 1)
@@ -104,23 +125,38 @@ class CameraPath:
         q = slerp(self.quats[i], self.quats[i + 1], t)
         R_c2w = quat_to_rotmat(q)
         R = R_c2w.T
-        return R.astype(np.float32), (-R @ pos).astype(np.float32)
+        fov = None
+        if self._has_fovs():
+            fov = (1 - t) * np.asarray(self.fovs[i]) + t * np.asarray(self.fovs[i + 1])
+        return R.astype(np.float32), (-R @ pos).astype(np.float32), fov
 
     def cameras(self, base: Camera, n_frames: int):
+        from ..camera import fov2focal
+
         for k in range(n_frames):
             u = k / max(n_frames - 1, 1)
-            R, t = self.sample(u)
-            yield base.with_pose(R, t)
+            R, t, fov = self.sample(u)
+            cam = base.with_pose(R, t)
+            if fov is not None:
+                cam = cam.replace(
+                    focal=np.array(
+                        [fov2focal(fov[0], base.width), fov2focal(fov[1], base.height)],
+                        np.float32,
+                    )
+                )
+            yield cam
 
     # -- TOML I/O (reference camera_path_io.jl) -----------------------------
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
             f.write("# gsplat_tpu camera path\n")
-            for p, q in zip(self.positions, self.quats):
+            for k, (p, q) in enumerate(zip(self.positions, self.quats)):
                 f.write("[[keyframe]]\n")
                 f.write("position = [%r, %r, %r]\n" % tuple(float(v) for v in p))
                 f.write("rotation = [%r, %r, %r, %r]\n" % tuple(float(v) for v in q))
+                if k < len(self.fovs) and self.fovs[k] is not None:
+                    f.write("fov = [%r, %r]\n" % tuple(float(v) for v in self.fovs[k]))
 
     @classmethod
     def load(cls, path: str) -> "CameraPath":
@@ -133,6 +169,8 @@ class CameraPath:
             out.positions.append(np.asarray(kf["position"], np.float64))
             q = np.asarray(kf["rotation"], np.float64)
             out.quats.append(q / np.linalg.norm(q))
+            fov = kf.get("fov")
+            out.fovs.append(np.asarray(fov, np.float64) if fov is not None else None)
         return out
 
 

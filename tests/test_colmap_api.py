@@ -210,14 +210,14 @@ def test_camera_path_spline_and_io(tmp_path):
         path.append(Camera.create(R=R, t=t, width=64, height=64,
                                   focal=np.array([60.0, 60.0], np.float32)))
     # Endpoint interpolation hits the keyframes.
-    R0, t0 = path.sample(0.0)
+    R0, t0, _ = path.sample(0.0)
     c0 = -R0.T @ t0
     np.testing.assert_allclose(c0, path.positions[0], atol=1e-5)
-    R1, t1 = path.sample(1.0)
+    R1, t1, _ = path.sample(1.0)
     np.testing.assert_allclose(-R1.T @ t1, path.positions[-1], atol=1e-5)
     # Rotations stay orthonormal along the path.
     for u in np.linspace(0, 1, 9):
-        R, _ = path.sample(float(u))
+        R, _, _ = path.sample(float(u))
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
     # TOML round-trip.
     f = str(tmp_path / "path.toml")

@@ -472,3 +472,42 @@ def test_long_horizon_schedule_behaviors(rng):
     tr.train(100)
     v1 = tr.validate()
     assert v1["psnr"] > v0["psnr"] + 5, (v0["psnr"], v1["psnr"])
+
+
+def _poisoned_trainer(n_views=8, poison_ti=3):
+    """Fresh dataset (never the shared fixture — we mutate images) with ONE
+    train view's target poisoned with NaN."""
+    ds = make_synthetic_dataset(n_points=120, n_views=n_views, width=48, height=48)
+    vid = ds.train_ids[poison_ti]
+    img = np.asarray(ds.images[vid]).copy()
+    img[:8, :8, :] = np.nan
+    ds.images[vid] = img
+    model = GaussianModel.create(
+        ds.points + np.random.default_rng(1).normal(0, 0.02, ds.points.shape).astype(np.float32),
+        ds.colors, ds.scales, max_sh_degree=0,
+    )
+    return Trainer(model, ds, max_instances=8192)
+
+
+def test_forensics_replays_failing_view_chunked(monkeypatch):
+    """The NaN abort's forensics must replay the EXACT failing step's view —
+    the report then provably reproduces the non-finite gradients (a wrong
+    view replays finite grads and the report degrades to its fallback line).
+    Reference nonfinite_gradient_report, training.jl:534-573."""
+    monkeypatch.setenv("GST_DEBUG", "1")
+    trainer = _poisoned_trainer()
+    with pytest.raises(FloatingPointError) as ei:
+        trainer.train(40)
+    msg = str(ei.value)
+    assert "Loss is not finite" in msg
+    assert "non-finite entries" in msg, msg
+
+
+def test_forensics_replays_failing_view_stepwise(monkeypatch):
+    monkeypatch.setenv("GST_DEBUG", "1")
+    trainer = _poisoned_trainer()
+    with pytest.raises(FloatingPointError) as ei:
+        trainer._train_stepwise(40)
+    msg = str(ei.value)
+    assert "Loss is not finite" in msg
+    assert "non-finite entries" in msg, msg

@@ -46,16 +46,56 @@ def test_camera_path_toml_roundtrip(tmp_path):
     path.save(f)
     back = CameraPath.load(f)
     assert len(back) == len(path)
-    for p, q, p2, q2 in zip(path.positions, path.quats, back.positions, back.quats):
+    for p, q, fv, p2, q2, fv2 in zip(
+        path.positions, path.quats, path.fovs,
+        back.positions, back.quats, back.fovs,
+    ):
         np.testing.assert_allclose(p2, p, atol=1e-12)
         np.testing.assert_allclose(q2, q, atol=1e-12)
+        np.testing.assert_allclose(fv2, fv, atol=1e-12)
         assert abs(np.linalg.norm(q2) - 1.0) < 1e-9
-    # Sampled poses from the loaded path match the original.
+    # Sampled poses + intrinsics from the loaded path match the original.
     for u in (0.0, 0.37, 1.0):
-        R1, t1 = path.sample(u)
-        R2, t2 = back.sample(u)
+        R1, t1, f1 = path.sample(u)
+        R2, t2, f2 = back.sample(u)
         np.testing.assert_allclose(R2, R1, atol=1e-6)
         np.testing.assert_allclose(t2, t1, atol=1e-6)
+        np.testing.assert_allclose(f2, f1, atol=1e-9)
+
+
+def test_camera_path_keyframe_intrinsics():
+    """Captures honor per-keyframe intrinsics: cameras() reproduces each
+    keyframe camera's FOV at the endpoints, at ANY output resolution
+    (reference keyframes carry the GUI camera's intrinsics,
+    gui/camera_path.jl:75)."""
+    from gsplat_tpu.camera import focal2fov
+
+    path = _orbit_path(n=3, width=128, height=80)  # focal 100 px @ 128x80
+    base = Camera.create(
+        width=256, height=160, focal=np.array([999.0, 999.0], np.float32)
+    )
+    cams = list(path.cameras(base, 3))
+    for cam in cams:
+        assert cam.width == 256 and cam.height == 160
+        # Same FOV as the 100px-focal @128x80 keyframes, not base's 999.
+        assert abs(focal2fov(float(cam.focal[0]), 256) - focal2fov(100.0, 128)) < 1e-6
+        assert abs(focal2fov(float(cam.focal[1]), 160) - focal2fov(100.0, 80)) < 1e-6
+
+
+def test_camera_path_legacy_toml_no_fov(tmp_path):
+    """Old TOMLs without `fov` keys load and fall back to base intrinsics."""
+    f = tmp_path / "legacy.toml"
+    f.write_text(
+        "[[keyframe]]\nposition = [0.0, 0.0, 3.0]\nrotation = [1.0, 0.0, 0.0, 0.0]\n"
+        "[[keyframe]]\nposition = [3.0, 0.0, 0.0]\nrotation = [1.0, 0.0, 0.0, 0.0]\n"
+    )
+    path = CameraPath.load(str(f))
+    assert len(path) == 2
+    R, t, fov = path.sample(0.5)
+    assert fov is None
+    base = Camera.create(width=64, height=64, focal=np.array([77.0, 77.0], np.float32))
+    for cam in path.cameras(base, 2):
+        np.testing.assert_allclose(np.asarray(cam.focal), [77.0, 77.0])
 
 
 def test_capture_path_renders_frames(tmp_path):
