@@ -9,4 +9,5 @@ from .mesh import (  # noqa: F401
     make_mesh,
     replicated,
 )
+from .overlap import phase_split_train_step  # noqa: F401
 from .tile_shard import blend_tile_sharded, render_tile_sharded  # noqa: F401

@@ -304,3 +304,58 @@ def test_fully_sharded_exchange_overflow_flag(rng):
         camera=cam, config=cfg, sh_degree=0, mesh=mesh, exchange_budget=1,
     )
     assert bool(aux["overflow"])
+
+
+def test_phase_split_backward_matches_monolithic(rng):
+    """SURVEY §2.8 / VERDICT r2 #6: the explicit phase-split backward
+    (per-microbatch psum_scatter of cotangent partials + sharded Adam +
+    all-gather) must reproduce the monolithic GSPMD-all-reduce DP step to
+    reduction-order tolerance — params, Adam moments, metrics, and
+    densification stats."""
+    from gsplat_tpu.parallel import phase_split_train_step
+    from gsplat_tpu.ops.rasterize import RasterizerConfig
+
+    B = 16  # 8 devices x 2 local views -> 2 microbatches of 1
+    ds = make_synthetic_dataset(n_points=60, n_views=B, width=32, height=32, holdout=0)
+    model = GaussianModel.create(
+        ds.points, ds.colors, ds.scales, max_sh_degree=0, capacity=64
+    )
+    state = TrainState.create(model)
+    cams = batch_cameras([ds.cameras[i] for i in range(B)])
+    targets = jnp.stack([jnp.asarray(ds.images[i]) for i in range(B)])
+    bg = jnp.zeros(3, jnp.float32)
+    cfg = RasterizerConfig(width=32, height=32, mode="rgb", max_instances=4096, impl="scan")
+    p = OptimizationParams()
+    kw = dict(config=cfg, opt_params=p, camera_extent=float(ds.camera_extent))
+
+    s_ref, m_ref = data_parallel_train_step(state, cams, targets, bg, 0, mesh=None, **kw)
+    mesh = make_mesh(8, axis="data")
+    for n_micro in (1, 2):
+        s_ps, m_ps = phase_split_train_step(
+            state, cams, targets, bg, 0, mesh=mesh, n_micro=n_micro, **kw
+        )
+        np.testing.assert_allclose(float(m_ps["loss"]), float(m_ref["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_ps["l1"]), float(m_ref["l1"]), rtol=1e-5)
+        for k, v in s_ref.model.params().items():
+            np.testing.assert_allclose(
+                np.asarray(s_ps.model.params()[k]), np.asarray(v),
+                rtol=1e-4, atol=1e-6, err_msg=f"{k} (n_micro={n_micro})",
+            )
+        for mom in ("mu", "nu"):
+            for k in s_ref.model.params():
+                np.testing.assert_allclose(
+                    np.asarray(s_ps.opt[mom][k]), np.asarray(s_ref.opt[mom][k]),
+                    rtol=1e-4, atol=1e-8, err_msg=f"{mom}/{k}",
+                )
+        np.testing.assert_allclose(
+            np.asarray(s_ps.grad_accum), np.asarray(s_ref.grad_accum),
+            rtol=1e-3, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_ps.stat_denom), np.asarray(s_ref.stat_denom)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_ps.max_radii), np.asarray(s_ref.max_radii)
+        )
+        assert int(s_ps.step) == int(s_ref.step) == 1
+        assert int(s_ps.opt["step"]) == int(s_ref.opt["step"])
