@@ -38,9 +38,19 @@ BIG = 1e9
 
 
 # ---------------------------------------------------------------- textures
-def _fbm(h, w, octaves=6, seed=0):
-    """Fractal value noise: 1/f spectrum like natural images."""
+def _fbm(h, w, octaves=None, seed=0, persistence=0.55):
+    """Fractal value noise: 1/f spectrum like natural images.
+
+    `octaves` defaults to enough levels that the finest grid reaches the
+    pixel scale of the texture — a fixed octave count leaves a high-res
+    texture band-limited (the round-2 atrium_hd scene rendered 1248x832
+    views from 512px textures with detail stopping at octave 6, so GT was
+    locally smooth, the converged model legitimately used BIG splats —
+    median 39 px screen radius — and the reference-faithful >=20px prune,
+    densification.jl:19-24, demolished 85% of a healthy model per pass)."""
     rng = np.random.default_rng(seed)
+    if octaves is None:
+        octaves = max(6, int(np.log2(max(h, w))) - 1)
     out = np.zeros((h, w), np.float32)
     amp, total = 1.0, 0.0
     for o in range(octaves):
@@ -57,7 +67,7 @@ def _fbm(h, w, octaves=6, seed=0):
         b = g[np.ix_(y1, x0)] * fy * (1 - fx) + g[np.ix_(y1, x1)] * fy * fx
         out += amp * (a + b)
         total += amp
-        amp *= 0.55
+        amp *= persistence
     out /= total
     return (out - out.min()) / (np.ptp(out) + 1e-9)
 
@@ -73,12 +83,17 @@ def make_textures(res=512):
             "grace_hopper.jpg",
         )
         img = np.asarray(Image.open(p).resize((res, res))).astype(np.float32) / 255.0
-        tex["photo"] = img
+        # Upscaling adds no detail: modulate with pixel-scale fBm so the
+        # photo surface has texture at the texture's own resolution.
+        detail = (_fbm(res, res, seed=11) - 0.5)[..., None]
+        tex["photo"] = np.clip(img * (1.0 + 0.35 * detail), 0, 1)
     except Exception:
         tex["photo"] = np.stack([_fbm(res, res, seed=s) for s in (7, 8, 9)], -1)
 
     n = _fbm(res, res, seed=1)
-    grass = np.stack([0.18 + 0.25 * n, 0.30 + 0.35 * n, 0.10 + 0.15 * n], -1)
+    nf = _fbm(res, res, seed=12, persistence=0.8)  # blade-scale grain
+    g = 0.6 * n + 0.4 * nf
+    grass = np.stack([0.18 + 0.28 * g, 0.28 + 0.40 * g, 0.10 + 0.17 * g], -1)
     tex["ground"] = grass
 
     yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res
@@ -86,7 +101,7 @@ def make_textures(res=512):
     tex["wood"] = np.stack(
         [0.45 + 0.25 * rings, 0.28 + 0.16 * rings, 0.12 + 0.08 * rings], -1)
 
-    m = _fbm(res, res, octaves=7, seed=3)
+    m = _fbm(res, res, seed=3)
     veins = 0.5 + 0.5 * np.sin(14 * (yy + 1.6 * m))
     tex["marble"] = np.stack(
         [0.55 + 0.4 * veins, 0.55 + 0.38 * veins, 0.58 + 0.38 * veins], -1)
@@ -100,8 +115,15 @@ def make_textures(res=512):
          0.20 * brick + 0.16 + 0.08 * bn,
          0.12 * brick + 0.13 + 0.06 * bn], -1)
 
-    c = _fbm(res, res, octaves=5, seed=5)
+    c = _fbm(res, res, seed=5)
     tex["rust"] = np.stack([0.45 + 0.4 * c, 0.30 + 0.25 * c, 0.15 + 0.1 * c], -1)
+    # Multiplicative luminance grain at texel scale on every surface:
+    # natural captures carry pixel-level texture everywhere, and without it
+    # the optimizer (correctly) covers surfaces with big splats whose >=20px
+    # screen radii the reference prune then mass-kills (see _fbm docstring).
+    for i, k in enumerate(tex):
+        grain = _fbm(res, res, seed=20 + i, persistence=0.8)[..., None]
+        tex[k] = tex[k] * (0.78 + 0.44 * grain)
     for k in tex:
         tex[k] = np.clip(tex[k], 0, 1).astype(np.float32)
     return tex
@@ -188,8 +210,12 @@ def ground(y, half, texname, uvscale=0.12):
 
 
 def build_scene():
-    return [
-        ground(0.0, 14.0, "ground"),
+    prims = [
+        # Finer ground texel density (uvscale 0.12 -> 0.3): at the orbit's
+        # viewing distances this puts ~1-2.5 texels under each render pixel,
+        # i.e. pixel-scale view-CONSISTENT detail (2x supersampling keeps it
+        # alias-free) — a real capture's grass, not a smooth green wash.
+        ground(0.0, 14.0, "ground", uvscale=0.3),
         box([-1.3, 0.0, -1.1], [1.3, 1.1, 1.1], "wood", spec=0.15, uvscale=1.0),
         sphere([0.0, 1.65, 0.0], 0.62, "marble", spec=0.5),
         sphere([-1.9, 0.55, 1.3], 0.55, "photo", spec=0.2),
@@ -197,7 +223,30 @@ def build_scene():
         sphere([1.9, 0.42, 1.6], 0.42, "rust", spec=0.6),
         box([-2.9, 0.0, -2.0], [-1.9, 0.75, -1.0], "photo", spec=0.1),
         sphere([-0.4, 0.35, 2.3], 0.35, "wood", spec=0.3, uvscale=2.0),
+        # Mid-field clutter: more textured surface, less bare ground.
+        sphere([0.9, 0.28, -3.1], 0.28, "marble", spec=0.3, uvscale=2.0),
+        box([-3.3, 0.0, 1.2], [-2.5, 0.5, 2.0], "brick", spec=0.0, uvscale=3.0),
+        sphere([3.1, 0.5, 0.2], 0.5, "photo", spec=0.15),
+        box([2.6, 0.0, 2.6], [3.4, 0.9, 3.4], "wood", spec=0.1, uvscale=2.0),
+        sphere([-1.1, 0.22, -2.6], 0.22, "rust", spec=0.4, uvscale=3.0),
     ]
+    # Horizon ring: distant textured "buildings" fill the band between
+    # ground and sky that the orbit's outward-facing rays otherwise leave
+    # empty — real 360-degree captures have background structure there,
+    # and without it the optimizer covers the horizon with enormous splats.
+    rngb = np.random.default_rng(42)
+    names = ["brick", "photo", "wood", "marble", "rust"]
+    for k in range(10):
+        a = 2 * np.pi * (k + 0.5) / 10
+        r = 11.0 + 1.5 * float(rngb.uniform())
+        cx, cz = r * np.cos(a), r * np.sin(a)
+        w = 1.6 + 1.4 * float(rngb.uniform())
+        h = 2.0 + 2.5 * float(rngb.uniform())
+        prims.append(box(
+            [cx - w, 0.0, cz - w], [cx + w, h, cz + w],
+            names[k % len(names)], spec=0.05, uvscale=2.0 + k % 3,
+        ))
+    return prims
 
 
 SUN = np.array([0.45, 0.75, 0.3], np.float32)
@@ -352,6 +401,13 @@ def write_scene(root, W, H, focal, views, images, pts, cols):
             f.write(struct.pack("<Q", 0))  # empty track
 
 
+_WORK = None
+
+
+def _work_entry(i):
+    return _WORK(i)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
@@ -359,26 +415,51 @@ def main():
     ap.add_argument("--height", type=int, default=416)
     ap.add_argument("--views", type=int, default=40)
     ap.add_argument("--points", type=int, default=30_000)
+    ap.add_argument("--texres", type=int, default=0,
+                    help="texture resolution (default: 2x image width, "
+                    "pow2-rounded — detail down to the render pixel scale)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="render views in parallel worker processes")
     args = ap.parse_args()
     assert args.width % 16 == 0 and args.height % 16 == 0
 
     rng = np.random.default_rng(args.seed)
-    tex = make_textures()
+    texres = args.texres or 1 << int(np.ceil(np.log2(2 * args.width)))
+    tex = make_textures(res=texres)
     scene = build_scene()
     focal = 0.78 * args.width
 
-    views, images = [], []
-    cloud_p, cloud_c = [], []
-    for i in range(args.views):
+    def view_pose(i):
         ang = 2 * np.pi * i / args.views
         radius = 6.0 + 1.0 * np.sin(3 * ang)
         height = 1.6 + 1.2 * (0.5 + 0.5 * np.sin(2 * ang + 1.0))
         eye = np.array([radius * np.cos(ang), height, radius * np.sin(ang)])
-        R, t = look_at_rt(eye, np.array([0.0, 0.7, 0.0]))
+        return look_at_rt(eye, np.array([0.0, 0.7, 0.0]))
+
+    def render_one(i):
+        R, t = view_pose(i)
         img, hit_p, hit_m, hit_c = render_view(
             scene, tex, R, t, args.width, args.height, focal)
-        views.append((R, t))
+        print(f"view {i + 1}/{args.views}", flush=True)
+        return img, hit_p, hit_m, hit_c
+
+    if args.jobs > 1:
+        # fork start method: workers inherit scene/tex/args via globals
+        # (a closure doesn't pickle through Pool.map).
+        import multiprocessing as mp
+
+        global _WORK
+        _WORK = render_one
+        with mp.get_context("fork").Pool(args.jobs) as pool:
+            rendered = pool.map(_work_entry, range(args.views))
+    else:
+        rendered = [render_one(i) for i in range(args.views)]
+
+    views, images = [], []
+    cloud_p, cloud_c = [], []
+    for i, (img, hit_p, hit_m, hit_c) in enumerate(rendered):
+        views.append(view_pose(i))
         images.append(img)
         # COLMAP-like sparse samples from real hits (train views only;
         # llffhold=8 -> every 8th view is test)
@@ -387,7 +468,6 @@ def main():
             take = rng.choice(idx, size=min(2000, len(idx)), replace=False)
             cloud_p.append(hit_p[take] + rng.normal(0, 0.01, (len(take), 3)))
             cloud_c.append(hit_c[take])
-        print(f"view {i + 1}/{args.views}", flush=True)
 
     pts = np.concatenate(cloud_p, 0)
     cols = np.concatenate(cloud_c, 0)

@@ -17,6 +17,11 @@ from _cli import pop_scene
 
 args = sys.argv[1:]
 scene = pop_scene(args, "benchmark/scenes/atrium_hd")
+mss = None
+if "--max-screen-size" in args:
+    i = args.index("--max-screen-size")
+    mss = int(args[i + 1])
+    del args[i:i + 2]
 n_steps = int(args[0]) if args else 30_000
 strategies = tuple(args[1:]) or ("default", "mcmc")
 
@@ -30,6 +35,7 @@ rows = benchmark(
     n_steps=n_steps,
     eval_steps=(7_000, 30_000),
     autosave_every=2_000,
+    max_screen_size=mss,
 )
 print(json.dumps(rows), flush=True)
 # Rows land in a sidecar (RESULTS.md is curated by hand around them).

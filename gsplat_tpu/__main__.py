@@ -24,6 +24,10 @@ def _cli():
     t.add_argument("--max-instances", type=int, default=None)
     t.add_argument("--antialiased", action="store_true",
                    help="mip-splatting-style EWA opacity compensation")
+    t.add_argument("--max-screen-size", type=int, default=None,
+                   help="post-reset size-prune threshold in px (reference "
+                        "default 20; 0 disables the size prune — documented "
+                        "deviation, see train/strategy.py)")
     t.add_argument("--profile", default=None, metavar="DIR",
                    help="trace the first steps with the JAX profiler into DIR")
 
@@ -33,6 +37,8 @@ def _cli():
     b.add_argument("--steps", type=int, default=30_000)
     b.add_argument("--strategies", default="default,mcmc")
     b.add_argument("--seed", type=int, default=0)
+    b.add_argument("--max-screen-size", type=int, default=None,
+                   help="size-prune threshold override (see train --help)")
 
     r = sub.add_parser("render", help="render dataset views from a checkpoint/PLY")
     r.add_argument("model", help=".safetensors checkpoint or .ply")
@@ -104,7 +110,7 @@ def _cli():
             opt_params=opt, holdout=args.holdout,
             checkpoint=args.checkpoint, ply=args.ply, seed=args.seed,
             max_instances=args.max_instances, profile_dir=args.profile,
-            antialiased=args.antialiased,
+            antialiased=args.antialiased, max_screen_size=args.max_screen_size,
         )
     elif args.cmd == "benchmark":
         from .api import benchmark
@@ -112,6 +118,7 @@ def _cli():
         benchmark(
             args.dataset, scale=args.scale, n_steps=args.steps,
             strategies=tuple(args.strategies.split(",")), seed=args.seed,
+            max_screen_size=args.max_screen_size,
         )
     elif args.cmd == "render":
         from .api import render_views

@@ -39,7 +39,7 @@ def standard_scale(dataset_path: str) -> int:
 
 def _build_trainer(
     dataset, opt_params, strategy_name, *, capacity_factor=4, max_instances=1 << 20, seed=0,
-    antialiased=False,
+    antialiased=False, strategy_kw=None,
 ):
     n0 = len(dataset.points)
     model = GaussianModel.create(
@@ -49,7 +49,11 @@ def _build_trainer(
         capacity=max(-(-n0 * capacity_factor // 4096) * 4096, 4096),
         max_sh_degree=3,
     )
-    strategy = create_strategy(strategy_name, seed=seed) if strategy_name else None
+    strategy = (
+        create_strategy(strategy_name, seed=seed, **(strategy_kw or {}))
+        if strategy_name
+        else None
+    )
     return Trainer(
         model, dataset, opt_params=opt_params, strategy=strategy,
         max_instances=max_instances, seed=seed, antialiased=antialiased,
@@ -71,6 +75,7 @@ def main(
     seed: int = 0,
     profile_dir: str | None = None,
     antialiased: bool = False,
+    max_screen_size: int | None = None,
 ):
     """Headless training (reference main, GaussianSplatting.jl:120-203).
     `profile_dir` wraps the run in the JAX/XLA profiler (device timeline +
@@ -87,9 +92,14 @@ def main(
         # The chunked-scan fallback on CPU cannot stomach multi-million
         # instance buffers; the Pallas path on TPU can.
         max_instances = 1 << 21 if jax.default_backend() == "tpu" else 1 << 16
+    strategy_kw = (
+        {"max_screen_size": max_screen_size}
+        if max_screen_size is not None and strategy == "default"
+        else None
+    )
     trainer = _build_trainer(
         dataset, opt_params, strategy, max_instances=max_instances, seed=seed,
-        antialiased=antialiased,
+        antialiased=antialiased, strategy_kw=strategy_kw,
     )
 
     t0 = time.perf_counter()
@@ -133,6 +143,7 @@ def benchmark(
     seed: int = 0,
     autosave_every: int = 0,
     work_dir: str | None = None,
+    max_screen_size: int | None = None,
 ):
     """The evaluation protocol (reference benchmark,
     GaussianSplatting.jl:260-359): fixed seed per config, max_extent=inf,
@@ -150,6 +161,11 @@ def benchmark(
     work_dir = work_dir or dataset_path
     results = []
     for strat in strategies:
+        strategy_kw = (
+            {"max_screen_size": max_screen_size}
+            if max_screen_size is not None and strat == "default"
+            else {}
+        )
         trainer = None
         done = 0
         if autosave_every:
@@ -158,14 +174,17 @@ def benchmark(
                 trainer = Trainer.from_checkpoint(
                     saves[-1], dataset,
                     opt_params=reference_opt_params(),
-                    strategy=create_strategy(strat, seed=seed),
+                    strategy=create_strategy(strat, seed=seed, **strategy_kw),
                     max_instances=1 << 21 if jax.default_backend() == "tpu" else 1 << 16,
                     seed=seed,
                 )
                 done = int(trainer.state.step)
                 print(f"  resumed {strat} from {saves[-1]} @ step {done}", flush=True)
         if trainer is None:
-            trainer = _build_trainer(dataset, reference_opt_params(), strat, seed=seed)
+            trainer = _build_trainer(
+                dataset, reference_opt_params(), strat, seed=seed,
+                strategy_kw=strategy_kw or None,
+            )
         if autosave_every:
             trainer.autosave_every = autosave_every
             trainer.autosave_path = os.path.join(work_dir, f"bench_{strat}.safetensors")

@@ -163,7 +163,15 @@ def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats):
             return gather_pallas.gather_rows(pack, padded_ids)
     ids = jnp.clip(padded_ids, 0, N - 1)
     m = (padded_ids >= 0).astype(mean_2d.dtype)
-    return jnp.take(pack, ids, axis=0) * m[:, None]
+    I = ids.shape[0]
+    if I % 8 == 0:
+        # (I/8, 8)-shaped ids lower to a ~1.4x faster XLA gather on TPU than
+        # flat (I,) ids (2.37 -> 1.70 ms at 380k rows, benchmark/micro13.py);
+        # identical semantics after the reshape back.
+        rows = jnp.take(pack, ids.reshape(-1, 8), axis=0).reshape(I, F_PAD)
+    else:
+        rows = jnp.take(pack, ids, axis=0)
+    return rows * m[:, None]
 
 
 def _assemble_image(color_tiles, grid_wh, n_feat):

@@ -62,6 +62,24 @@ def _radius_pos(radius):
     return radius > 0 if radius.ndim == 1 else jnp.all(radius > 0, axis=-1)
 
 
+def _cummax_1d(x):
+    """Inclusive i32 cummax: streaming Pallas scan on TPU (~4x the XLA
+    shifted-max lowering at 380k; pads ragged lengths up to 1024),
+    `lax.cummax` elsewhere (the differential-tested oracle)."""
+    (n,) = x.shape
+    if jax.default_backend() == "tpu":
+        from .cummax_pallas import cummax_pallas
+
+        pad = (-n) % 1024
+        if pad:
+            # Trailing INT32_MIN pads never affect the prefix maxima.
+            return cummax_pallas(
+                jnp.concatenate([x, jnp.full((pad,), -(1 << 31), x.dtype)])
+            )[:n]
+        return cummax_pallas(x)
+    return jax.lax.cummax(x)
+
+
 def count_tiles(mean_2d, radius, grid_wh):
     """Tiles overlapped per Gaussian (0 for culled). utils.jl:122-142."""
     rmin, rmax = tile_rect(mean_2d, radius, grid_wh)
@@ -160,14 +178,23 @@ def build_instances(
         jnp.where(counts > 0, gid1, 0),
         jnp.where(pad_counts > 0, PAD_BASE + tid1, 0),
     ])
-    markers = jnp.zeros((I_pad,), jnp.int32).at[idx].max(val, mode="drop")
-    if jax.default_backend() == "tpu" and I_pad % 1024 == 0:
-        # Streaming Pallas scan (~4x the XLA shifted-max lowering at 380k).
-        from .cummax_pallas import cummax_pallas
-
-        owner = cummax_pallas(markers)  # (I_pad,)
-    else:
-        owner = jax.lax.cummax(markers)  # (I_pad,)
+    # Scatter-max of val then cummax == scatter-SET of cummax(val) at the
+    # LAST entry of each duplicate-idx run, then cummax: the source-order
+    # cummax aggregates duplicate runs up front, so the scatter can claim
+    # unique (and sorted) indices — which XLA lowers ~1.4x faster than the
+    # duplicate-tolerant scatter-max (1.53 -> 1.08 ms at 380k incl. the
+    # extra cummax, benchmark/micro13.py; owner-equivalence verified there
+    # and by the binning differential tests).
+    cval = _cummax_1d(val)
+    last = jnp.concatenate([idx[1:] != idx[:-1], jnp.ones((1,), bool)])
+    # Dropped (non-last duplicate) entries get DISTINCT out-of-bounds
+    # indices so the unique_indices promise holds even for them.
+    oob = I_pad + jnp.arange(idx.shape[0], dtype=jnp.int32)
+    idx_u = jnp.where(last, idx, oob)
+    markers = jnp.zeros((I_pad,), jnp.int32).at[idx_u].set(
+        cval, mode="drop", unique_indices=True
+    )
+    owner = _cummax_1d(markers)  # (I_pad,)
 
     slot = jnp.arange(I_pad, dtype=jnp.int32)
     is_pad = slot >= total

@@ -90,6 +90,15 @@ class DefaultStrategy:
     densify_grad_threshold: float = 2e-4
     opacity_reset_interval: int = 3_000
     min_opacity: float = 0.005
+    # Post-reset size-prune screen threshold in PIXELS (densification.jl:
+    # 19-24 hardcodes 20; 0 disables the whole size prune — both screen and
+    # world-scale arms, matching max_screen_size=0 semantics there).
+    # DOCUMENTED DEVIATION KNOB: screen radii scale with render resolution,
+    # so the fixed 20 px rule prunes ever-larger fractions of a healthy
+    # model as resolution grows (85% per pass on the 1248x832 atrium_hd,
+    # RESULTS.md); scenes whose content is representable by large splats
+    # may need a higher threshold or 0. The default stays reference-exact.
+    max_screen_size: int = 20
     seed: int = 0
     _rng: np.random.Generator = field(default=None, repr=False)
 
@@ -104,7 +113,9 @@ class DefaultStrategy:
             return state
         # Stats already accumulated inside train_step (trainer.py).
         if step >= self.densify_from_iter and step % self.densification_interval == 0:
-            max_screen_size = 20 if step > self.opacity_reset_interval else 0
+            max_screen_size = (
+                self.max_screen_size if step > self.opacity_reset_interval else 0
+            )
             state = self.densify_and_prune(
                 state,
                 extent=trainer.camera_extent,

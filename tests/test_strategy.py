@@ -197,3 +197,30 @@ def test_grow_state_preserves_moments(dataset):
         np.asarray(out.opt["mu"]["points"])[: len(mu0)], mu0
     )
     assert int(out.opt["step"]) == int(state.opt["step"])
+
+
+def test_adc_max_screen_size_knob(dataset):
+    """max_screen_size=0 disables the post-reset size prune entirely
+    (documented deviation knob; reference hardcodes 20 after the first
+    opacity reset, strategy.jl:94-97 / densification.jl:19-24)."""
+    trainer = make_trainer(dataset, None)
+    state = trainer.state
+    n0 = int(state.model.n_alive)
+    # Every splat has a huge recorded screen radius.
+    state = state.replace(
+        max_radii=jnp.full(state.model.capacity, 500, state.max_radii.dtype)
+    )
+
+    faithful = DefaultStrategy(densify_from_iter=1, densification_interval=1)
+    out = faithful.densify_and_prune(
+        state, extent=dataset.camera_extent, max_screen_size=faithful.max_screen_size
+    )
+    assert int(out.model.n_alive) == 0, "20px rule must kill every 500px splat"
+
+    # post_train_step derives the threshold from the knob: 0 = prune off.
+    off = DefaultStrategy(
+        densify_from_iter=1, densification_interval=1, max_screen_size=0,
+        opacity_reset_interval=10,
+    )
+    out2 = off.post_train_step(state, trainer, step=11)
+    assert int(out2.model.n_alive) == n0, "size prune disabled -> no kills"
