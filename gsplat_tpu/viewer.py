@@ -83,6 +83,21 @@ body { margin:0; background:#111; color:#ddd; font:13px monospace; overflow:hidd
     <button id="btndensify">densify on/off</button>
     <button id="btnexport">export PLY</button>
   </div>
+  <h3>file</h3>
+  <div id="filemenu">
+    <input id="dspath" placeholder="dataset dir (server path)" style="width:200px">
+    scale <input id="dsscale" value="" style="width:30px">
+    <select id="dsstrat"><option>default</option><option>mcmc</option><option>none</option></select><br>
+    <label><input type="checkbox" id="fbil">bilateral</label>
+    <label><input type="checkbox" id="fdep">depth</label>
+    <label><input type="checkbox" id="fsky">sky</label>
+    <label><input type="checkbox" id="fnrm">normal</label>
+    <label><input type="checkbox" id="fpose">pose</label>
+    <button id="btnopends">open dataset</button><br>
+    <input id="ckpath" placeholder="checkpoint / .ply (server path)" style="width:200px">
+    <button id="btnopenck">open model</button>
+    <button id="btnclose">close scene</button>
+  </div>
   <h3>loss curves (log10)</h3>
   <canvas id="curves" width="318" height="200"></canvas>
   <div id="legend"></div>
@@ -325,6 +340,31 @@ document.getElementById('btnexport').onclick=async()=>{
   const r=await (await fetch('/export')).json(); alert('exported '+r.path);
 };
 document.getElementById('btnstop').onclick=()=>fetch('/train?cmd=stop');
+async function openUrl(u){
+  const r=await fetch(u);
+  if(!r.ok){alert('open failed: '+await r.text());return;}
+  const j=await r.json(); alert('opened '+JSON.stringify(j));
+  try{frusta=await (await fetch('/frustums')).json();}catch(e){frusta=[];}
+  pickedCam=-1; thumb.style.display='none'; dirty=true;
+}
+document.getElementById('btnopends').onclick=()=>{
+  const p=document.getElementById('dspath').value; if(!p) return;
+  let u='/open?dataset='+encodeURIComponent(p);
+  const sc=document.getElementById('dsscale').value;
+  if(sc) u+='&scale='+sc;
+  u+='&strategy='+document.getElementById('dsstrat').value;
+  for(const [id,k] of [['fbil','bilateral'],['fdep','depth'],['fsky','sky'],
+                       ['fnrm','normal'],['fpose','pose']])
+    if(document.getElementById(id).checked) u+='&'+k+'=1';
+  openUrl(u);
+};
+document.getElementById('btnopenck').onclick=()=>{
+  const p=document.getElementById('ckpath').value; if(!p) return;
+  openUrl('/open?model='+encodeURIComponent(p));
+};
+document.getElementById('btnclose').onclick=async()=>{
+  await fetch('/close'); frusta=[]; pickedCam=-1; thumb.style.display='none'; dirty=true;
+};
 document.getElementById('btnsave').onclick=async()=>{
   const r=await (await fetch('/save')).json(); alert('saved '+r.path);
 };
@@ -544,7 +584,35 @@ class Viewer:
             with self._lock:
                 export_ply(self._current_model(), out)
             return 200, "application/json", json.dumps({"path": out}).encode()
+        if path == "/open":
+            return self._open(q)
         return None
+
+    @staticmethod
+    def _load_model_file(path: str):
+        if path.endswith(".ply"):
+            from .models.gaussians import import_ply
+
+            return import_ply(path)
+        from .io.checkpoint import load_checkpoint
+
+        state, _cam, _meta = load_checkpoint(path)
+        return state.model
+
+    def _open(self, q: dict):
+        """File-menu open (reference gui.jl:206-258): swap the viewed model
+        for a checkpoint/PLY from the server's filesystem — the web
+        equivalent of the desktop app's file dialog (the service binds
+        loopback by default, same trust domain as the local app)."""
+        path = str(q.get("model", ""))
+        if not path:
+            return 400, "text/plain", b"need model=PATH (.safetensors or .ply)"
+        model = self._load_model_file(path)
+        with self._lock:
+            self.model = model
+        return 200, "application/json", json.dumps(
+            {"opened": path, "n_gaussians": int(model.n_alive)}
+        ).encode()
 
     def serve(self, port: int = 8000, host: str = "127.0.0.1"):
         viewer = self
@@ -698,4 +766,83 @@ class TrainingViewer(Viewer):
                 out = os.path.join(self.out_dir, f"live_{step:06d}.safetensors")
                 save_checkpoint(out, self.trainer.state)
             return 200, "application/json", json.dumps({"path": out, "step": step}).encode()
+        if path == "/close":
+            # Reference "Close scene" (gui.jl:251-257): drop the training
+            # scene; the current model stays viewable read-only.
+            self._run.clear()
+            with self._lock:
+                self.model = self.trainer.state.model
+                self.dataset = None
+                self.max_steps = self.trainer.step
+            return 200, "application/json", json.dumps({"closed": True}).encode()
         return super().handle(path, q)
+
+    def _open(self, q: dict):
+        """The reference File-menu modal (gui.jl:206-258), web-side:
+
+        - /open?dataset=DIR[&scale=N][&strategy=default|mcmc|none]
+          [&holdout=K][&seed=S][&bilateral=0/1][&depth=0/1][&sky=0/1]
+          [&normal=0/1][&pose=0/1] — load a COLMAP scene with the modal's
+          scale/strategy/feature toggles and rebuild the Trainer;
+        - /open?model=PATH — resume a checkpoint (with the current dataset,
+          exact Adam/step/SH-ramp resume) or import a PLY as step-0 state.
+
+        Commands drain between training bursts: training is stopped first,
+        and the swap happens under the single-owner lock.
+        """
+        self._run.clear()
+        tr = self.trainer
+        if q.get("dataset"):
+            from .api import _build_trainer, standard_scale
+            from .data.colmap import load_colmap
+
+            path = str(q["dataset"])
+            scale = int(q.get("scale") or standard_scale(path))
+            strategy = str(q.get("strategy", "default"))
+            opt = tr.opt_params
+            toggles = {
+                "bilateral": "use_bilateral_grid", "depth": "use_depth_loss",
+                "sky": "use_sky_dome", "normal": "use_normal_loss",
+                "pose": "use_pose_opt",
+            }
+            kw = {f: bool(int(q[k])) for k, f in toggles.items() if k in q}
+            if kw:
+                opt = opt.replace(**kw)
+            ds = load_colmap(path, scale=scale, holdout=int(q.get("holdout", 8)))
+            trainer = _build_trainer(
+                ds, opt, None if strategy == "none" else strategy,
+                max_instances=tr.max_instances, seed=int(q.get("seed", 0)),
+            )
+            with self._lock:
+                self.trainer = trainer
+                self.dataset = ds
+                self.model = trainer.state.model
+                self.max_steps = None
+            return 200, "application/json", json.dumps({
+                "opened": path, "views": len(ds.cameras),
+                "points": len(ds.points), "strategy": strategy, "scale": scale,
+            }).encode()
+        if q.get("model"):
+            path = str(q["model"])
+            if self.dataset is None:
+                return 409, "text/plain", b"no dataset loaded; open one first"
+            from .train.trainer import Trainer
+
+            if path.endswith(".ply"):
+                model = self._load_model_file(path)
+                trainer = Trainer(
+                    model, self.dataset, opt_params=tr.opt_params,
+                    strategy=tr.strategy, max_instances=tr.max_instances,
+                )
+            else:
+                trainer = Trainer.from_checkpoint(
+                    path, self.dataset, opt_params=tr.opt_params,
+                    strategy=tr.strategy, max_instances=tr.max_instances,
+                )
+            with self._lock:
+                self.trainer = trainer
+                self.model = trainer.state.model
+            return 200, "application/json", json.dumps(
+                {"opened": path, "step": int(trainer.step)}
+            ).encode()
+        return 400, "text/plain", b"need dataset=DIR or model=PATH"

