@@ -81,7 +81,7 @@ def _autotune(model, cams, budget, mode):
             "GSPLAT_GATHER_PALLAS": "0"}
     # Blend variants interact (both change the kernel); tune jointly.
     best, best_ms = dict(base), None
-    for tb in ("1", "4"):
+    for tb in ("1", "4", "8"):
         for mm in ("0", "1"):
             combo = dict(base, GSPLAT_BLEND_TB=tb, GSPLAT_BLEND_SIGMA_MM=mm)
             ms = time_combo(combo)

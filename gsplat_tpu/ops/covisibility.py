@@ -12,6 +12,13 @@ The per-pixel `uncertainties` output of the reference kernel
 (render.jl:109) is `sum(alpha_i * T_i) = 1 - T_final` by telescoping, i.e.
 identical to the alpha map the rasterizer already returns; `rasterize`
 exposes it under `aux["uncertainty"]`.
+
+Cost note: the pass is a SEQUENTIAL `lax.scan` over all I_pad/chunk
+chunks (~3k serial steps at a 380k-instance budget, roughly the cost of
+one extra forward blend). That is fine for its occasional-use role; if a
+caller ever needs it per frame, respell the scan as a per-tile parallel
+pass (each tile's chunks are independent — only `logT` carries across
+chunks of the SAME tile, so a segmented scan over tiles parallelizes).
 """
 from __future__ import annotations
 
