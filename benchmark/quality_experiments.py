@@ -54,7 +54,7 @@ def e2_resume(ds):
 
 
 def _fresh(ds, strategy, max_sh_degree=3, evals=(1400, 3500, 7000),
-           antialiased=False):
+           antialiased=False, strategy_kw=None, tag=""):
     from gsplat_tpu.api import create_strategy, reference_opt_params
     from gsplat_tpu.models.gaussians import GaussianModel
     from gsplat_tpu.train.trainer import Trainer
@@ -64,7 +64,7 @@ def _fresh(ds, strategy, max_sh_degree=3, evals=(1400, 3500, 7000),
     )
     tr = Trainer(
         model, ds, opt_params=reference_opt_params(),
-        strategy=create_strategy(strategy, seed=0),
+        strategy=create_strategy(strategy, seed=0, **(strategy_kw or {})),
         max_instances=1 << 21, seed=0, antialiased=antialiased,
     )
     rows, done = [], 0
@@ -77,7 +77,7 @@ def _fresh(ds, strategy, max_sh_degree=3, evals=(1400, 3500, 7000),
                      "ssim": round(v["ssim"], 4),
                      "n": int(tr.state.model.n_alive),
                      "min": round((time.time()-t0)/60, 1)})
-        log(f"{strategy}/sh{max_sh_degree}/aa{int(antialiased)} {rows[-1]}")
+        log(f"{tag or strategy}/sh{max_sh_degree}/aa{int(antialiased)} {rows[-1]}")
     return rows
 
 
@@ -89,13 +89,16 @@ def main():
     log(f"backend: {jax.default_backend()}")
     want = set(a.lower() for a in sys.argv[1:]) or {"e2", "e3", "e4"}
     out = {}
+    res_path = Path("benchmark/qexp_results.json")
+    if res_path.exists():  # accumulate across invocations
+        out.update(json.loads(res_path.read_text()))
     if "e2" in want:
         # Resume uses the original 640x416 scene (that's where the
         # autosaves live); fresh runs use the HD scene (the reference's
         # resolution operating point — see RESULTS.md).
         out["e2_resume"] = e2_resume(_dataset())
     ds_hd = None
-    if want & {"e3", "e4", "e5"}:
+    if want & {"e3", "e4", "e5", "e6", "e7"}:
         ds_hd = load_colmap("benchmark/scenes/atrium_hd", scale=1, holdout=8,
                             max_extent=float("inf"))
     if "e3" in want:
@@ -104,6 +107,20 @@ def main():
         out["e4_sh0"] = _fresh(ds_hd, "default", max_sh_degree=0)
     if "e5" in want:
         out["e5_aa"] = _fresh(ds_hd, "default", antialiased=True)
+    if "e6" in want:
+        # Deviation arm: size prune off (documented knob) vs the faithful
+        # protocol run on the same scene.
+        out["e6_noprune"] = _fresh(
+            ds_hd, "default", strategy_kw={"max_screen_size": 0},
+            tag="default/mss0",
+        )
+    if "e7" in want:
+        # Post-reset recovery trace: fine-grained holdout PSNR through the
+        # 3000 opacity reset (see RESULTS.md round-3 findings).
+        out["e7_recovery"] = _fresh(
+            ds_hd, "default",
+            evals=(2900, 3100, 3300, 3600, 4000, 4500), tag="default/trace",
+        )
     Path("benchmark/qexp_results.json").write_text(json.dumps(out, indent=1))
     log("wrote benchmark/qexp_results.json")
 
