@@ -306,3 +306,47 @@ def test_gather_instance_table_pallas_flag(rng, monkeypatch):
     monkeypatch.setenv("GSPLAT_GATHER_PALLAS", "1")
     got = np.asarray(_gather_instance_table(ids, mean_2d, conic, opac, feats))
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_build_instances_duplicate_run_heavy(rng):
+    """The dedup'd unique scatter-set spelling of the marker expansion
+    (tiles.py round 3) must survive LONG duplicate-offset runs: consecutive
+    culled gaussians all share their successor's offset. 70% culled with
+    clustered runs + many empty tiles (pad markers with zero pad_counts)."""
+    grid = (4, 4)
+    n = 256
+    mean_2d = rng.uniform(-10, 70, size=(n, 2)).astype(np.float32)
+    # Cluster culls in long runs: blocks of 32 with a single survivor.
+    radius = np.zeros(n, np.int32)
+    for b in range(0, n, 32):
+        keep = b + int(rng.integers(0, 32))
+        radius[keep] = int(rng.integers(5, 40))
+    depth = rng.uniform(0.5, 10.0, size=n).astype(np.float32)
+
+    res = tiles.build_instances(
+        jnp.asarray(mean_2d), jnp.asarray(depth), jnp.asarray(radius),
+        grid_wh=grid, max_instances=1024, chunk=8,
+    )
+    assert not bool(res["overflow"])
+    expected = brute_force_instances(mean_2d, depth, radius, grid)
+    assert int(res["n_instances"]) == len(expected)
+    padded_ids = np.asarray(res["padded_ids"])
+    tile_start = np.asarray(res["tile_start"])
+    tile_count = np.asarray(res["tile_count"])
+    got = []
+    for t in range(grid[0] * grid[1]):
+        s, c = tile_start[t], tile_count[t]
+        ids = padded_ids[s : s + c]
+        assert np.all(ids >= 0)
+        assert np.all(np.diff(depth[ids]) >= 0)
+        got.extend((t, i) for i in ids)
+    assert sorted(got) == sorted((t, i) for t, _, i in expected)
+
+    # Degenerate: EVERYTHING culled -> zero instances, all pads.
+    res0 = tiles.build_instances(
+        jnp.asarray(mean_2d), jnp.asarray(depth),
+        jnp.asarray(np.zeros(n, np.int32)),
+        grid_wh=grid, max_instances=1024, chunk=8,
+    )
+    assert int(res0["n_instances"]) == 0
+    assert np.all(np.asarray(res0["padded_ids"]) == -1)
