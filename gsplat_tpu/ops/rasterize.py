@@ -137,7 +137,8 @@ def cull_radius(opacities, radius, conic=None):
     return jnp.where(mask[:, None] if r.ndim == 2 else mask, r, 0)
 
 
-def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats):
+def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats,
+                           offsets=None, counts=None, max_run=1 << 30):
     """Build the (I_pad, F_PAD) instance table from per-Gaussian arrays.
 
     ONE row-gather from a packed (N, F_PAD) per-Gaussian array — the
@@ -161,17 +162,106 @@ def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats):
 
         if gather_pallas.fits(N, F_PAD, padded_ids.shape[0]):
             return gather_pallas.gather_rows(pack, padded_ids)
+    return _gather_rows_xla(pack, padded_ids, offsets, counts, max_run)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_rows_xla(pack, padded_ids, offsets, counts, max_run):
+    """rows = pack[padded_ids] with padded_ids < 0 -> zero rows.
+
+    Forward: (I/8, 8)-shaped ids lower to a ~1.4x faster XLA gather on TPU
+    than flat (I,) ids (2.37 -> 1.70 ms at 380k rows, benchmark/micro13.py).
+
+    Backward: a custom VJP. The autodiff transpose (scatter-add of the
+    per-instance cotangents onto Gaussian rows) is serialized per update by
+    the TPU scatter lowering — EVERY add/segment_sum spelling measures
+    ~115 ms standalone (~82 ms fused) at a 1.12M-instance budget, HALF the
+    train step's device time (benchmark/profile_quality_step.py). Instead:
+
+      1. sort the cotangent rows by gaussian id (one single-key lax.sort,
+         pads to the tail) — instances of each gaussian become contiguous,
+      2. segmented inclusive scan along the rows (log2(max instances per
+         gaussian) shifted masked adds — the mask is key[j-s] == key[j]),
+      3. gather each gaussian's run-end row at offsets + counts - 1
+         (`offsets`/`counts` are the binning's gaussian-major layout,
+         which the sorted-by-id order reproduces exactly).
+
+    The sort-scan-gather path (GSPLAT_SEGSCAN_BWD=1) is exact with a
+    DETERMINISTIC reduction order (the reference's @atomic accumulation,
+    render.jl:242-282, is not even deterministic) and scatter-free — but
+    measured on v5e it only ties the fused scatter at the 1.12M quality
+    scale and LOSES at the 380k bench scale (48.9 -> 30.7 steps/s), so the
+    default stays the autodiff-transpose scatter-add; the flag preserves
+    the deterministic option and the measured recipe.
+    """
+    return _gather_rows_fwd_impl(pack, padded_ids)
+
+
+def _gather_rows_fwd_impl(pack, padded_ids):
+    N = pack.shape[0]
     ids = jnp.clip(padded_ids, 0, N - 1)
-    m = (padded_ids >= 0).astype(mean_2d.dtype)
+    m = (padded_ids >= 0).astype(pack.dtype)
     I = ids.shape[0]
     if I % 8 == 0:
-        # (I/8, 8)-shaped ids lower to a ~1.4x faster XLA gather on TPU than
-        # flat (I,) ids (2.37 -> 1.70 ms at 380k rows, benchmark/micro13.py);
-        # identical semantics after the reshape back.
         rows = jnp.take(pack, ids.reshape(-1, 8), axis=0).reshape(I, F_PAD)
     else:
         rows = jnp.take(pack, ids, axis=0)
     return rows * m[:, None]
+
+
+def _gather_rows_vjp_fwd(pack, padded_ids, offsets, counts, max_run):
+    return (
+        _gather_rows_fwd_impl(pack, padded_ids),
+        (padded_ids, offsets, counts, pack.shape[0]),
+    )
+
+
+def _gather_rows_vjp_bwd(max_run, res, ct):
+    import os
+
+    padded_ids, offsets, counts, n = res
+    real = padded_ids >= 0
+    ct = jnp.where(real[:, None], ct, 0.0)
+    if os.environ.get("GSPLAT_SEGSCAN_BWD", "0") != "1" or offsets is None:
+        d_pack = jnp.zeros((n, ct.shape[1]), ct.dtype).at[
+            jnp.clip(padded_ids, 0, n - 1)
+        ].add(ct)
+        return d_pack, None, None, None
+
+    I, F = ct.shape
+    keys = jnp.where(real, padded_ids, jnp.int32(0x7FFFFFFF)).astype(jnp.uint32)
+    # Sort only the permutation (a 17-operand payload sort lowers ~60x
+    # worse than key+index at this scale), then row-gather the cotangents
+    # into gaussian-major order.
+    k_s, perm = jax.lax.sort(
+        (keys, jnp.arange(I, dtype=jnp.int32)), num_keys=1, is_stable=False
+    )
+    if I % 8 == 0:
+        v = jnp.take(ct, perm.reshape(-1, 8), axis=0).reshape(I, F)
+    else:
+        v = jnp.take(ct, perm, axis=0)
+    # Segmented inclusive scan: after level s every position holds the sum
+    # of its run's last min(rank+1, 2s) entries. Run length = a gaussian's
+    # instance count <= n_tiles, so `max_run` (the caller passes the tile
+    # count) statically bounds the level count at ceil(log2(n_tiles)).
+    s = 1
+    while s < min(max_run, I):
+        same = jnp.concatenate(
+            [jnp.zeros((s,), bool), k_s[s:] == k_s[:-s]]
+        )
+        shifted = jnp.concatenate([jnp.zeros((s, F), ct.dtype), v[:-s]])
+        v = v + jnp.where(same[:, None], shifted, 0.0)
+        s *= 2
+    ends = jnp.clip(offsets + counts - 1, 0, I - 1)
+    if n % 8 == 0:
+        d_pack = jnp.take(v, ends.reshape(-1, 8), axis=0).reshape(n, F)
+    else:
+        d_pack = jnp.take(v, ends, axis=0)
+    d_pack = jnp.where((counts > 0)[:, None], d_pack, 0.0)
+    return d_pack, None, None, None
+
+
+_gather_rows_xla.defvjp(_gather_rows_vjp_fwd, _gather_rows_vjp_bwd)
 
 
 def _assemble_image(color_tiles, grid_wh, n_feat):
@@ -292,7 +382,11 @@ def rasterize(
         feats.append(proj["normal"])
     feats = jnp.concatenate(feats, axis=1)  # (N, C_blend)
 
-    table = _gather_instance_table(binned["padded_ids"], mean_2d, proj["conic"], opacities, feats)
+    table = _gather_instance_table(
+        binned["padded_ids"], mean_2d, proj["conic"], opacities, feats,
+        offsets=binned["gm_offsets"], counts=binned["tile_count_per_gaussian"],
+        max_run=config.grid_wh[0] * config.grid_wh[1],
+    )
 
     if config.impl == "scan":
         color, T_final, n_contrib = blend_scan(

@@ -245,6 +245,11 @@ def build_instances(
         "tile_start": tile_start,
         "tile_count": tile_count,
         "n_instances": jnp.minimum(total, I_pad),
+        # Gaussian-major layout (exclusive prefix of per-gaussian tile
+        # counts): the instance-gather's custom backward reduces sorted-by-id
+        # cotangent runs at these boundaries (rasterize._gather_rows_xla).
+        "gm_offsets": offsets,
+        "tile_count_per_gaussian": counts,
         # The host's budget-sizing signal: chunk-aligned demand, exact even
         # under truncation (the matmul histogram sees the full demand).
         "p_instances": p_total,
