@@ -77,8 +77,11 @@ def _autotune(model, cams, budget, mode):
             print(f"[autotune] {flags} FAILED: {type(e).__name__}", file=sys.stderr)
             return None
 
+    # Pin the gather backward to the fused scatter while tuning the blend:
+    # the size-based default could pick a sort+reduce spelling at this
+    # budget, whose ~20 ms would drown the blend variants' differences.
     base = {"GSPLAT_BLEND_TB": "1", "GSPLAT_BLEND_SIGMA_MM": "0",
-            "GSPLAT_GATHER_PALLAS": "0"}
+            "GSPLAT_GATHER_PALLAS": "0", "GSPLAT_GATHER_BWD": "scatter"}
     # Blend variants interact (both change the kernel); tune jointly.
     best, best_ms = dict(base), None
     for tb in ("1", "4", "8"):
@@ -96,6 +99,16 @@ def _autotune(model, cams, budget, mode):
           f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
     if ms is not None and best_ms is not None and ms < best_ms * 0.98:
         best, best_ms = g_on, ms
+    # Backward reduction of the instance gather (micro14: size-dependent
+    # crossover between the fused scatter and the sort+reduce spellings).
+    if mode != "render":
+        for bwd in ("scatter", "segscan", "segsum"):
+            combo = dict(best, GSPLAT_GATHER_BWD=bwd)
+            ms = time_combo(combo)
+            print(f"[autotune] gather_bwd={bwd}: "
+                  f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
+            if ms is not None and (best_ms is None or ms < best_ms * 0.98):
+                best, best_ms = combo, ms
     for k, v in best.items():
         os.environ[k] = v
     print(f"[autotune] chose {best} ({best_ms and round(best_ms, 2)} ms)",

@@ -54,10 +54,14 @@ def _lowers() -> bool:
             # Production-shaped probe: the rasterizer gathers (N, 16) rows,
             # so probe with a representative (1024, 16) pack — a tiny-shape
             # probe could pass while the real call's shapes still get
-            # rejected by a future Mosaic.
-            pack = jnp.zeros((1024, 16), jnp.float32)
-            ids = jnp.zeros((_BLK,), jnp.int32)
-            _fwd_impl(pack, ids, _probe=True).block_until_ready()
+            # rejected by a future Mosaic. The probe must run EAGERLY: the
+            # first call often arrives while tracing (bench autotune, jitted
+            # callers), where arrays are tracers and the probe would fail
+            # for the wrong reason and cache a wrong False forever.
+            with jax.ensure_compile_time_eval():
+                pack = jnp.zeros((1024, 16), jnp.float32)
+                ids = jnp.zeros((_BLK,), jnp.int32)
+                jax.block_until_ready(_fwd_impl(pack, ids, _probe=True))
             _lowers_cache = True
         except Exception as e:
             # Warn ONCE with the actual error so a genuine kernel regression

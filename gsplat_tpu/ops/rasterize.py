@@ -176,23 +176,24 @@ def _gather_rows_xla(pack, padded_ids, offsets, counts, max_run):
     per-instance cotangents onto Gaussian rows) is serialized per update by
     the TPU scatter lowering — EVERY add/segment_sum spelling measures
     ~115 ms standalone (~82 ms fused) at a 1.12M-instance budget, HALF the
-    train step's device time (benchmark/profile_quality_step.py). Instead:
+    train step's device time (benchmark/profile_quality_step.py). Above the
+    measured crossover the default instead is:
 
       1. sort the cotangent rows by gaussian id (one single-key lax.sort,
          pads to the tail) — instances of each gaussian become contiguous,
-      2. segmented inclusive scan along the rows (log2(max instances per
-         gaussian) shifted masked adds — the mask is key[j-s] == key[j]),
+      2. one streaming Pallas segmented-sum pass (ops/segsum_pallas.py:
+         in-block same-segment-mask matmuls + a cross-block carry),
       3. gather each gaussian's run-end row at offsets + counts - 1
          (`offsets`/`counts` are the binning's gaussian-major layout,
          which the sorted-by-id order reproduces exactly).
 
-    The sort-scan-gather path (GSPLAT_SEGSCAN_BWD=1) is exact with a
-    DETERMINISTIC reduction order (the reference's @atomic accumulation,
-    render.jl:242-282, is not even deterministic) and scatter-free — but
-    measured on v5e it only ties the fused scatter at the 1.12M quality
-    scale and LOSES at the 380k bench scale (48.9 -> 30.7 steps/s), so the
-    default stays the autodiff-transpose scatter-add; the flag preserves
-    the deterministic option and the measured recipe.
+    This replaces the reference backward's @atomic accumulation
+    (render.jl:242-282) with a reduction that is scatter-free AND
+    deterministic (the atomics are not). Mode select: GSPLAT_GATHER_BWD in
+    {scatter, segscan, segsum}; default scatter below _SEGSUM_MIN_INSTANCES
+    or off-TPU, segsum above. "segscan" is the pure-XLA log-level spelling
+    (kept as the lowering-independent fallback; it only ties the scatter —
+    its log2(max_run) masked adds re-stream the whole array per level).
     """
     return _gather_rows_fwd_impl(pack, padded_ids)
 
@@ -216,23 +217,48 @@ def _gather_rows_vjp_fwd(pack, padded_ids, offsets, counts, max_run):
     )
 
 
-def _gather_rows_vjp_bwd(max_run, res, ct):
+# The TPU scatter lowering degrades super-linearly with instance count
+# (benchmark/micro14.py on v5e, real-binning ids): 6.6 ms at a 384k budget,
+# 68 ms at 640k, 121 ms at 1.15M — while the sort+reduce spellings scale
+# ~linearly (3.3 / 6.1 / 32 ms). Above this crossover the sort+reduce is the
+# default; below it the r3 end-to-end bench still favored the fused scatter
+# (in-pipeline it fuses tighter than standalone). GSPLAT_GATHER_BWD
+# overrides; bench.py autotunes it on the target chip.
+_SEGSUM_MIN_INSTANCES = 512 * 1024
+
+
+def _gather_bwd_mode(n_instances: int) -> str:
     import os
 
+    mode = os.environ.get("GSPLAT_GATHER_BWD", "")
+    if mode:
+        return mode
+    if os.environ.get("GSPLAT_SEGSCAN_BWD", "0") == "1":  # legacy flag
+        return "segscan"
+    if jax.default_backend() == "tpu" and n_instances >= _SEGSUM_MIN_INSTANCES:
+        return "segscan"
+    return "scatter"
+
+
+def _gather_rows_vjp_bwd(max_run, res, ct):
     padded_ids, offsets, counts, n = res
     real = padded_ids >= 0
     ct = jnp.where(real[:, None], ct, 0.0)
-    if os.environ.get("GSPLAT_SEGSCAN_BWD", "0") != "1" or offsets is None:
+    mode = _gather_bwd_mode(ct.shape[0])
+    if mode == "scatter" or offsets is None:
         d_pack = jnp.zeros((n, ct.shape[1]), ct.dtype).at[
             jnp.clip(padded_ids, 0, n - 1)
         ].add(ct)
         return d_pack, None, None, None
 
     I, F = ct.shape
-    keys = jnp.where(real, padded_ids, jnp.int32(0x7FFFFFFF)).astype(jnp.uint32)
+    keys = jnp.where(real, padded_ids, jnp.int32(0x7FFFFFFF))
     # Sort only the permutation (a 17-operand payload sort lowers ~60x
     # worse than key+index at this scale), then row-gather the cotangents
-    # into gaussian-major order.
+    # into gaussian-major order: each gaussian's rows become the CONTIGUOUS
+    # run [gm_offsets[g], gm_offsets[g] + counts[g]) (ops/tiles.py), since
+    # a gaussian's post-sort slots ascend by tile id = its rect's row-major
+    # enumeration order. Padding rows (key 0x7FFFFFFF) sort to the tail.
     k_s, perm = jax.lax.sort(
         (keys, jnp.arange(I, dtype=jnp.int32)), num_keys=1, is_stable=False
     )
@@ -240,18 +266,30 @@ def _gather_rows_vjp_bwd(max_run, res, ct):
         v = jnp.take(ct, perm.reshape(-1, 8), axis=0).reshape(I, F)
     else:
         v = jnp.take(ct, perm, axis=0)
-    # Segmented inclusive scan: after level s every position holds the sum
-    # of its run's last min(rank+1, 2s) entries. Run length = a gaussian's
-    # instance count <= n_tiles, so `max_run` (the caller passes the tile
-    # count) statically bounds the level count at ceil(log2(n_tiles)).
-    s = 1
-    while s < min(max_run, I):
-        same = jnp.concatenate(
-            [jnp.zeros((s,), bool), k_s[s:] == k_s[:-s]]
-        )
-        shifted = jnp.concatenate([jnp.zeros((s, F), ct.dtype), v[:-s]])
-        v = v + jnp.where(same[:, None], shifted, 0.0)
-        s *= 2
+    if mode == "segsum":
+        # One streaming Pallas pass: run-end rows hold the full segment sum.
+        from .segsum_pallas import BLOCK, segsum_scan
+
+        pad = (-I) % BLOCK
+        if pad:
+            v = jnp.pad(v, ((0, pad), (0, 0)))
+            k_s = jnp.concatenate(
+                [k_s, jnp.full((pad,), jnp.int32(0x7FFFFFFF))]
+            )
+        v = segsum_scan(v, k_s)[:I]
+    else:  # "segscan": pure-XLA log-level masked adds (deterministic fallback)
+        # Segmented inclusive scan: after level s every position holds the
+        # sum of its run's last min(rank+1, 2s) entries. Run length = a
+        # gaussian's instance count <= n_tiles, so `max_run` (the caller
+        # passes the tile count) statically bounds the level count.
+        s = 1
+        while s < min(max_run, I):
+            same = jnp.concatenate(
+                [jnp.zeros((s,), bool), k_s[s:] == k_s[:-s]]
+            )
+            shifted = jnp.concatenate([jnp.zeros((s, F), ct.dtype), v[:-s]])
+            v = v + jnp.where(same[:, None], shifted, 0.0)
+            s *= 2
     ends = jnp.clip(offsets + counts - 1, 0, I - 1)
     if n % 8 == 0:
         d_pack = jnp.take(v, ends.reshape(-1, 8), axis=0).reshape(n, F)
