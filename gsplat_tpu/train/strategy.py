@@ -11,9 +11,15 @@ here the model is a static-capacity pytree with an alive mask, so:
   - capacity growth = host-side re-pad to the next bucket (one re-jit per
     bucket, at the 100-step refine cadence only).
 
-Index bookkeeping (which slots are dead, multinomial sampling) runs host-side
-at refine cadence — the same host round-trip the reference makes
-(mcmc.jl:135-146 pulls opacities to the host every refine).
+Index bookkeeping (which slots are dead, free-slot assignment, multinomial
+sampling) runs ON DEVICE inside one jitted refine pass — free slots come
+from a sort, request ranks from cumsums, and the host fetches only two
+scalars (grow signal + new-row count) per refine. The reference instead
+pulls opacities to the host every refine (mcmc.jl:135-146), and a host
+round-trip at 1M capacity costs ~37 s through a remote-TPU tunnel
+(~375 ms/step amortized — the single biggest line in a 30k protocol run,
+PERFORMANCE.md round 3). Only capacity GROWTH stays host-side: it changes
+array shapes, so the host re-pads and replays the refine.
 
 Hyperparameters are copied from the reference verbatim (strategy.jl:42-49,
 mcmc.jl:60-72).
@@ -76,9 +82,133 @@ def _scatter_params(params: dict, src_idx, dst_idx, overrides: dict | None = Non
     return out
 
 
+def _free_slots(alive_after):
+    """(C,) slot indices with the dead slots first, in ascending index order
+    (one sort — the in-jit replacement for np.flatnonzero(~alive))."""
+    c = alive_after.shape[0]
+    _, ids = jax.lax.sort(
+        (alive_after.astype(jnp.int32), jnp.arange(c, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    return ids
+
+
+def _gather_remap(params: dict, src_map) -> dict:
+    """params[i] <- params[src_map[i]] for every key (one row gather each).
+    src_map[i] == i for untouched slots."""
+    return {k: jnp.take(v, src_map, axis=0) for k, v in params.items()}
+
+
 # ---------------------------------------------------------------------------
 # ADC — original 3DGS adaptive density control (strategy.jl / densification.jl)
 # ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _adc_refine_core(
+    state, key, extent, dense_percent, grad_threshold, min_opacity,
+    max_screen_size,
+):
+    """One densify+prune pass, fully on device (densification.jl:1-27).
+
+    Free-slot assignment without host index lists: free slots come from one
+    sort (dead-first), each clone/split request takes the free slot at its
+    cumsum rank, and the three request roles (clone copy / split child A /
+    child B) scatter their SOURCE index + role id into a (C,) remap, which
+    ONE row gather per parameter then applies. Requests whose rank exceeds
+    the free count are dropped (the host checks `need` and grows + replays).
+
+    Returns (new_state, info) with info = [n_new, n_alive_after + n_new].
+    """
+    model = state.model
+    c = model.capacity
+    alive = model.alive
+    denom = state.stat_denom
+    grads = jnp.where(denom > 0, state.grad_accum / jnp.maximum(denom, 1.0), 0.0)
+    scales_max = jnp.exp(model.scales).max(axis=1)
+    opac = jax.nn.sigmoid(model.opacities)
+
+    gamma = dense_percent * extent
+    clone = alive & (grads > grad_threshold) & (scales_max < gamma)
+    split = alive & (grads >= grad_threshold) & (scales_max > gamma)
+    prune = alive & (opac <= min_opacity)
+    size_prune = (
+        (state.max_radii.astype(jnp.float32) >= max_screen_size)
+        | (scales_max >= 0.1 * extent)
+    )
+    prune = prune | (alive & size_prune & (max_screen_size > 0))
+    kill = prune | split  # split originals are replaced by their children
+    alive_after = alive & ~kill
+
+    n_clone = jnp.sum(clone.astype(jnp.int32))
+    n_split = jnp.sum(split.astype(jnp.int32))
+    n_new = n_clone + 2 * n_split
+    n_alive_after = jnp.sum(alive_after.astype(jnp.int32))
+    n_free = c - n_alive_after
+
+    free_ids = _free_slots(alive_after)
+    ar = jnp.arange(c, dtype=jnp.int32)
+    rank_c = jnp.cumsum(clone.astype(jnp.int32)) - 1
+    rank_s = jnp.cumsum(split.astype(jnp.int32)) - 1
+
+    src_map = ar
+    role = jnp.zeros((c,), jnp.int32)
+
+    def assign(src_map, role, mask, rank, r):
+        ok = mask & (rank < n_free)
+        dst = jnp.take(free_ids, jnp.clip(rank, 0, c - 1))
+        # Dropped requests get DISTINCT out-of-bounds indices so the
+        # unique_indices promise holds for them too (tiles.py pattern).
+        dst = jnp.where(ok, dst, c + ar)
+        src_map = src_map.at[dst].set(ar, mode="drop", unique_indices=True)
+        role = role.at[dst].set(r, mode="drop", unique_indices=True)
+        return src_map, role
+
+    src_map, role = assign(src_map, role, clone, rank_c, 1)
+    src_map, role = assign(src_map, role, split, n_clone + rank_s, 2)
+    src_map, role = assign(src_map, role, split, n_clone + n_split + rank_s, 3)
+    is_new = role > 0
+    is_child = role >= 2
+
+    params = _gather_remap(model.params(), src_map)
+    # Split children: scale /1.6 (log(sigma/(0.8*2))) + rotated N(0, sigma)
+    # position jitter, independent per child (densification.jl:64-136).
+    # Clones copy verbatim.
+    noise = jax.random.normal(key, (c, 3), jnp.float32)
+    sigma = jnp.exp(params["scales"])
+    sig3 = jnp.broadcast_to(sigma, (c, 3)) if sigma.shape[1] == 1 else sigma
+    R = jax.vmap(quat_to_rotmat)(params["rotations"])
+    jitter = jnp.einsum("nij,nj->ni", R, sig3 * noise)
+    params = dict(
+        params,
+        points=params["points"] + jnp.where(is_child[:, None], jitter, 0.0),
+        scales=jnp.where(
+            is_child[:, None],
+            jnp.log(jnp.maximum(sigma / 1.6, 1e-12)),
+            params["scales"],
+        ),
+    )
+
+    new_alive = alive_after | is_new
+    model = model.replace_params(params).replace(alive=new_alive)
+    # Dead rows: force-dead opacity so pruned slots stop rendering even
+    # if later optimizer math touches them (masked_opacities also guards).
+    model = model.replace(
+        opacities=jnp.where(new_alive, model.opacities, DEAD_OPACITY)
+    )
+
+    # Zero moments of every re-written or killed row; fresh rows start clean
+    # (append semantics, densification.jl:261-287). Stats reset after every
+    # refine (densification.jl:202-214).
+    opt = zero_moment_rows(state.opt, is_new | kill)
+    new_state = state.replace(
+        model=model,
+        opt=opt,
+        max_radii=jnp.zeros((c,), state.max_radii.dtype),
+        grad_accum=jnp.zeros((c,), jnp.float32),
+        stat_denom=jnp.zeros((c,), jnp.float32),
+    )
+    return new_state, jnp.stack([n_new, n_alive_after + n_new])
 
 
 @dataclass
@@ -131,100 +261,28 @@ class DefaultStrategy:
         return state
 
     def densify_and_prune(self, state, *, extent: float, max_screen_size: int):
-        """Clone + split + prune (densification.jl:1-27)."""
-        model = state.model
-        alive = np.asarray(model.alive)
-        denom = np.asarray(state.stat_denom)
-        grads = np.asarray(state.grad_accum) / np.maximum(denom, 1.0)
-        grads = np.where(denom > 0, grads, 0.0)
-        scales_max = np.exp(np.asarray(model.scales)).max(axis=1)
-        opac = 1.0 / (1.0 + np.exp(-np.asarray(model.opacities)))
-
-        gamma = self.dense_percent * extent
-        clone_mask = alive & (grads > self.densify_grad_threshold) & (scales_max < gamma)
-        split_mask = alive & (grads >= self.densify_grad_threshold) & (scales_max > gamma)
-
-        prune_mask = alive & (opac <= self.min_opacity)
-        if max_screen_size > 0:
-            prune_mask |= alive & (
-                (np.asarray(state.max_radii) >= max_screen_size)
-                | (scales_max >= 0.1 * extent)
+        """Clone + split + prune (densification.jl:1-27) — ONE jitted device
+        pass (`_adc_refine_core`) plus a 2-scalar fetch. If the new rows
+        don't fit the free slots, the truncated result is discarded, the
+        capacity grows host-side, and the pass replays (same masks — the
+        core is a pure function of the pre-refine state)."""
+        key = jax.random.PRNGKey(int(self._rng.integers(1 << 31)))
+        for _ in range(2):
+            new_state, info = _adc_refine_core(
+                state, key,
+                jnp.float32(extent),
+                jnp.float32(self.dense_percent),
+                jnp.float32(self.densify_grad_threshold),
+                jnp.float32(self.min_opacity),
+                jnp.float32(max_screen_size),
             )
-        # Split originals are replaced by their two children.
-        kill = prune_mask | split_mask
-
-        clone_src = np.flatnonzero(clone_mask)
-        split_src = np.flatnonzero(split_mask)
-        n_new = len(clone_src) + 2 * len(split_src)
-
-        alive_after = alive & ~kill
-        free = np.flatnonzero(~alive_after)
-        if n_new > len(free):
-            need = int(alive_after.sum()) + n_new
-            state = grow_state(state, _bucket(max(need, int(1.3 * model.capacity))))
-            model = state.model
-            kill = _pad_mask(kill, model.capacity)
-            alive_after = np.asarray(model.alive) & ~kill
-            free = np.flatnonzero(~alive_after)
-
-        src = np.concatenate([clone_src, split_src, split_src]).astype(np.int32)
-        dst = free[:n_new].astype(np.int32)
-
-        new_alive = jnp.asarray(alive_after)
-        if n_new > 0:
-            new_alive = new_alive.at[jnp.asarray(dst)].set(True)
-            src_j = jnp.asarray(src)
-            dst_j = jnp.asarray(dst)
-            params = model.params()
-            # Split children: scale /1.6 (log(sigma/(0.8*2))) + rotated N(0, sigma)
-            # position jitter (densification.jl:64-136). Clones copy verbatim.
-            n_split2 = 2 * len(split_src)
-            sigma = jnp.exp(params["scales"][src_j])  # (n_new, s)
-            is_split = jnp.asarray(
-                np.concatenate([np.zeros(len(clone_src)), np.ones(n_split2)]) > 0
+            _n_new, need = (int(x) for x in np.asarray(info))
+            if need <= state.model.capacity:
+                return new_state
+            state = grow_state(
+                state, _bucket(max(need, int(1.3 * state.model.capacity)))
             )
-            noise = jnp.asarray(
-                self._rng.normal(size=(max(n_new, 1), 3)).astype(np.float32)
-            )[:n_new]
-            sig3 = jnp.broadcast_to(sigma, (n_new, 3)) if sigma.shape[1] == 1 else sigma
-            R = jax.vmap(quat_to_rotmat)(params["rotations"][src_j])
-            jitter = jnp.einsum("nij,nj->ni", R, sig3 * noise)
-            new_points = params["points"][src_j] + jnp.where(
-                is_split[:, None], jitter, 0.0
-            )
-            new_scales = jnp.where(
-                is_split[:, None],
-                jnp.log(jnp.maximum(sigma / 1.6, 1e-12)),
-                params["scales"][src_j],
-            )
-            params = _scatter_params(
-                params, src_j, dst_j, {"points": new_points, "scales": new_scales}
-            )
-            model = model.replace_params(params)
-
-        model = model.replace(alive=new_alive)
-        # Dead rows: force-dead opacity so pruned slots stop rendering even
-        # if later optimizer math touches them (masked_opacities also guards).
-        model = model.replace(
-            opacities=jnp.where(new_alive, model.opacities, DEAD_OPACITY)
-        )
-
-        # Zero moments of every re-written or killed row; fresh rows start clean
-        # (append semantics, densification.jl:261-287).
-        touched = np.zeros(model.capacity, bool)
-        touched[dst] = True
-        touched[np.flatnonzero(kill)] = True
-        opt = zero_moment_rows(state.opt, jnp.asarray(touched))
-
-        state = state.replace(model=model, opt=opt)
-        # Stats reset after every refine (densification.jl:202-214).
-        return state.reset_stats()
-
-
-def _pad_mask(mask: np.ndarray, capacity: int) -> np.ndarray:
-    out = np.zeros(capacity, bool)
-    out[: len(mask)] = mask
-    return out
+        return new_state
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +323,157 @@ def relocation_params(binoms, o, ratio, min_opacity=0.005):
     denom = np.copysign(np.maximum(np.abs(denom), 1e-8), denom)
     coeff = np.clip(o / denom, -1e6, 1e6)
     return new_o.astype(np.float32), coeff.astype(np.float32)
+
+
+def _relocation_params_jnp(W, o, ratio, min_opacity):
+    """Eq. 9 on device, vectorized over all capacity rows. `W` is the
+    cumsum-over-i of the binomial table (see `relocation_params`, the host
+    oracle both are tested against). ratio (C,) int32 >= 1."""
+    n_max = W.shape[0]
+    o = jnp.clip(o, 1e-6, 1.0 - 1e-6)
+    ratio = jnp.clip(ratio, 1, n_max - 1)
+    new_o = jnp.clip(
+        1.0 - (1.0 - o) ** (1.0 / ratio.astype(jnp.float32)),
+        jnp.maximum(1e-6, min_opacity), 1.0 - 1e-6,
+    )
+    Wk = jnp.take(W, ratio - 1, axis=0)  # (C, n_max)
+    ks = jnp.arange(n_max, dtype=jnp.int32)
+    powers = new_o[:, None] ** (ks[None, :] + 1).astype(jnp.float32)
+    mask = ks[None, :] < ratio[:, None]
+    denom = jnp.sum(jnp.where(mask, Wk * powers, 0.0), axis=1)
+    denom = jnp.copysign(jnp.maximum(jnp.abs(denom), 1e-8), denom)
+    coeff = jnp.clip(o / denom, -1e6, 1e6)
+    return new_o, coeff
+
+
+def _sample_counts(weights, n_draws, key):
+    """`n_draws` (traced) multinomial draws ∝ weights WITH replacement, on
+    device: inverse-CDF via searchsorted. Returns (draws (C,) i32 — entries
+    past n_draws are garbage —, counts (C,) i32 over the first n_draws).
+    Counts come from sort + run-length + a unique scatter-set: the TPU has
+    no fast duplicate-index scatter-add (PERFORMANCE.md)."""
+    c = weights.shape[0]
+    cw = jnp.cumsum(weights)
+    total = cw[-1]
+    u = jax.random.uniform(key, (c,), jnp.float32) * total
+    draws = jnp.clip(
+        jnp.searchsorted(cw, u, side="right", method="sort").astype(jnp.int32),
+        0, c - 1,
+    )
+    ar = jnp.arange(c, dtype=jnp.int32)
+    s = jnp.sort(jnp.where(ar < n_draws, draws, c))
+    is_start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    start_of_run = jax.lax.cummax(jnp.where(is_start, ar, 0))
+    runlen = ar - start_of_run + 1
+    is_end = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)])
+    tgt = jnp.where(is_end & (s < c), s, c + ar)  # distinct OOB for dropped
+    counts = jnp.zeros((c,), jnp.int32).at[tgt].set(
+        runlen, mode="drop", unique_indices=True
+    )
+    return draws, counts, total
+
+
+def _gate_state(do, new_state, state):
+    """new_state where `do` (traced bool), else the unchanged state."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(do, a, b), new_state, state
+    )
+
+
+@jax.jit
+def _mcmc_relocate_core(state, key, W, extent, min_opacity, max_scale):
+    """Move dead Gaussians onto alive ones sampled ∝ opacity, fully on
+    device (mcmc.jl:132-178): Eq. 9 corrections land on the sampled rows
+    (ratio = 1 + times-sampled), then dead rows copy their sampled source
+    via one row-gather remap. No host fetch at all."""
+    model = state.model
+    c = model.capacity
+    alive = model.alive
+    o = jax.nn.sigmoid(model.opacities)
+    s_max = jnp.max(model.scales, axis=1)
+    is_dead = alive & (
+        (o <= min_opacity) | (s_max > jnp.log(max_scale * extent))
+    )
+    n_dead = jnp.sum(is_dead.astype(jnp.int32))
+    w = jnp.where(alive & ~is_dead, o, 0.0)
+    draws, counts, total = _sample_counts(w, n_dead, key)
+    do = (n_dead > 0) & (total > 0)
+
+    sampled = counts > 0
+    new_o, coeff = _relocation_params_jnp(W, o, counts + 1, min_opacity)
+    raw_o = jnp.log(new_o / (1.0 - new_o))
+    s_old = jnp.exp(model.scales)
+    new_s = jnp.log(jnp.maximum(jnp.abs(coeff[:, None] * s_old), 1e-10))
+    params = dict(
+        model.params(),
+        opacities=jnp.where(sampled, raw_o, model.opacities),
+        scales=jnp.where(sampled[:, None], new_s, model.scales),
+    )
+
+    ar = jnp.arange(c, dtype=jnp.int32)
+    dead_rank = jnp.cumsum(is_dead.astype(jnp.int32)) - 1
+    src_for_dead = jnp.take(draws, jnp.clip(dead_rank, 0, c - 1))
+    src_map = jnp.where(is_dead, src_for_dead, ar)
+    params = _gather_remap(params, src_map)
+
+    new_state = state.replace(
+        model=model.replace_params(params),
+        opt=zero_moment_rows(state.opt, is_dead | sampled),
+    )
+    return _gate_state(do, new_state, state)
+
+
+@jax.jit
+def _mcmc_add_core(state, key, W, grow_factor, max_cap, min_opacity):
+    """Grow by grow_factor up to max_cap on device (mcmc.jl:184-217):
+    sample ∝ opacity, Eq. 9-correct the sampled rows, copy them into free
+    slots. Returns (state', info=[need_grow, n_alive, n_new]) — the host
+    grows capacity and replays when need_grow."""
+    model = state.model
+    c = model.capacity
+    alive = model.alive
+    n = jnp.sum(alive.astype(jnp.int32))
+    n_new = jnp.minimum(max_cap, (grow_factor * n.astype(jnp.float32))
+                        .astype(jnp.int32)) - n
+    n_free = c - n
+    need_grow = n_new > n_free
+
+    o = jax.nn.sigmoid(model.opacities)
+    w = jnp.where(alive, o, 0.0)
+    n_draws = jnp.clip(n_new, 0, n_free)
+    draws, counts, total = _sample_counts(w, n_draws, key)
+    do = (n_new > 0) & (total > 0)
+
+    sampled = counts > 0
+    new_o, coeff = _relocation_params_jnp(W, o, counts + 1, min_opacity)
+    raw_o = jnp.log(new_o / (1.0 - new_o))
+    s_old = jnp.exp(model.scales)
+    new_s = jnp.log(jnp.maximum(jnp.abs(coeff[:, None] * s_old), 1e-10))
+    params = dict(
+        model.params(),
+        opacities=jnp.where(sampled, raw_o, model.opacities),
+        scales=jnp.where(sampled[:, None], new_s, model.scales),
+    )
+
+    ar = jnp.arange(c, dtype=jnp.int32)
+    free_ids = _free_slots(alive)
+    ok = ar < n_draws  # j-th draw -> j-th free slot
+    dst = jnp.where(ok, free_ids, c + ar)
+    src_map = ar.at[dst].set(draws, mode="drop", unique_indices=True)
+    new_alive = alive.at[dst].set(True, mode="drop", unique_indices=True)
+    is_new = jnp.zeros((c,), bool).at[dst].set(
+        True, mode="drop", unique_indices=True
+    )
+    params = _gather_remap(params, src_map)
+
+    new_state = state.replace(
+        model=model.replace_params(params).replace(alive=new_alive),
+        opt=zero_moment_rows(state.opt, is_new | sampled),
+    )
+    return (
+        _gate_state(do, new_state, state),
+        jnp.stack([need_grow.astype(jnp.int32), n, n_new]),
+    )
 
 
 @partial(jax.jit, static_argnames=("noise_lr", "max_kick"))
@@ -338,100 +547,44 @@ class MCMCStrategy:
         )
         return state.replace(model=m.replace(points=new_points))
 
-    def _dead_alive(self, model, extent):
-        alive = np.asarray(model.alive)
-        o = 1.0 / (1.0 + np.exp(-np.asarray(model.opacities)))
-        s_max = np.asarray(model.scales).max(axis=1)
-        is_dead = alive & ((o <= self.min_opacity) | (s_max > np.log(self.max_scale * extent)))
-        return alive, o, is_dead
-
-    def _split_sampled(self, state, o, src, counts):
-        """Eq. 9 opacity/scale correction scattered onto `src` rows
-        (mcmc.jl:232-260). Returns updated state."""
-        model = state.model
-        ratio = counts[src] + 1
-        new_o, coeff = relocation_params(self._binoms, o[src], ratio, self.min_opacity)
-        src_j = jnp.asarray(src.astype(np.int32))
-        raw_o = jnp.asarray(np.log(new_o / (1.0 - new_o)))
-        s_old = jnp.exp(model.scales[src_j])
-        new_s = jnp.log(jnp.maximum(jnp.abs(jnp.asarray(coeff)[:, None] * s_old), 1e-10))
-        model = model.replace(
-            opacities=model.opacities.at[src_j].set(raw_o),
-            scales=model.scales.at[src_j].set(new_s),
-        )
-        return state.replace(model=model)
+    @property
+    def _W(self):
+        """Device copy of cumsum-over-i of the Eq. 9 binomial table."""
+        if getattr(self, "_W_cache", None) is None:
+            self._W_cache = jnp.asarray(
+                np.cumsum(self._binoms, axis=0).astype(np.float32)
+            )
+        return self._W_cache
 
     def relocate(self, state, extent: float):
         """Move dead Gaussians onto alive ones sampled ∝ opacity
-        (mcmc.jl:132-178)."""
-        model = state.model
-        alive, o, is_dead = self._dead_alive(model, extent)
-        dead = np.flatnonzero(is_dead)
-        alive_ids = np.flatnonzero(alive & ~is_dead)
-        if len(dead) == 0 or len(alive_ids) == 0:
-            return state
-
-        w = o[alive_ids]
-        if w.sum() <= 0:
-            return state
-        sampled = alive_ids[
-            self._rng.choice(len(alive_ids), size=len(dead), p=w / w.sum())
-        ]
-        counts = np.bincount(sampled, minlength=model.capacity)
-
-        state = self._split_sampled(state, o, sampled, counts)
-        model = state.model
-        src_j = jnp.asarray(sampled.astype(np.int32))
-        dst_j = jnp.asarray(dead.astype(np.int32))
-        params = _scatter_params(model.params(), src_j, dst_j)
-        model = model.replace_params(params)
-        state = state.replace(model=model)
-
-        touched = np.zeros(model.capacity, bool)
-        touched[sampled] = True
-        touched[dead] = True
-        return state.replace(opt=zero_moment_rows(state.opt, jnp.asarray(touched)))
+        (mcmc.jl:132-178) — one jitted device pass, zero host fetches."""
+        key = jax.random.PRNGKey(int(self._rng.integers(1 << 31)))
+        return _mcmc_relocate_core(
+            state, key, self._W,
+            jnp.float32(extent), jnp.float32(self.min_opacity),
+            jnp.float32(self.max_scale),
+        )
 
     def add(self, state):
         """Grow by grow_factor up to max_cap: sample ∝ opacity, Eq.9-split,
-        copy into free slots (mcmc.jl:184-217)."""
-        model = state.model
-        alive = np.asarray(model.alive)
-        n = int(alive.sum())
-        n_new = min(self.max_cap, int(self.grow_factor * n)) - n
-        if n_new <= 0:
-            return state
-
-        free = np.flatnonzero(~alive)
-        if n_new > len(free):
-            state = grow_state(
-                state, _bucket(max(n + n_new, int(1.3 * model.capacity)))
+        copy into free slots (mcmc.jl:184-217) — one jitted device pass plus
+        a 3-scalar fetch; grows capacity host-side and replays if the new
+        rows don't fit."""
+        key = jax.random.PRNGKey(int(self._rng.integers(1 << 31)))
+        for _ in range(2):
+            new_state, info = _mcmc_add_core(
+                state, key, self._W,
+                jnp.float32(self.grow_factor), jnp.int32(self.max_cap),
+                jnp.float32(self.min_opacity),
             )
-            model = state.model
-            alive = np.asarray(model.alive)
-            free = np.flatnonzero(~alive)
-
-        o = 1.0 / (1.0 + np.exp(-np.asarray(model.opacities)))
-        w = np.where(alive, o, 0.0)
-        if w.sum() <= 0:
-            return state
-        sampled = self._rng.choice(model.capacity, size=n_new, p=w / w.sum())
-        counts = np.bincount(sampled, minlength=model.capacity)
-
-        state = self._split_sampled(state, o, sampled, counts)
-        model = state.model
-        src_j = jnp.asarray(sampled.astype(np.int32))
-        dst_j = jnp.asarray(free[:n_new].astype(np.int32))
-        params = _scatter_params(model.params(), src_j, dst_j)
-        model = model.replace_params(params).replace(
-            alive=model.alive.at[dst_j].set(True)
-        )
-        state = state.replace(model=model)
-
-        touched = np.zeros(model.capacity, bool)
-        touched[sampled] = True
-        touched[np.asarray(free[:n_new])] = True
-        return state.replace(opt=zero_moment_rows(state.opt, jnp.asarray(touched)))
+            need_grow, n, n_new = (int(x) for x in np.asarray(info))
+            if not need_grow:
+                return new_state
+            state = grow_state(
+                state, _bucket(max(n + n_new, int(1.3 * state.model.capacity)))
+            )
+        return new_state
 
 
 def create_strategy(name: str, **kw):
