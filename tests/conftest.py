@@ -32,6 +32,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+if not os.environ.get("GST_TEST_TPU"):
+    # Persistent compile cache (repo-local, gitignored): cache hits skip
+    # backend_compile entirely — the site of this jaxlib's CPU segfault
+    # after ~150 heavy compiles per process. First runs populate it; any
+    # crashed-and-restarted xdist worker (pytest.ini --max-worker-restart)
+    # then replays its file from cache instead of re-crashing, and repeat
+    # suite runs barely compile at all.
+    _cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".pytest_jax_cache",
+    )
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 # Float64 available for precise finite-difference gradchecks; production code
 # paths stay float32 (dtypes are set explicitly throughout gsplat_tpu).
 jax.config.update("jax_enable_x64", True)
