@@ -359,3 +359,60 @@ def test_phase_split_backward_matches_monolithic(rng):
         )
         assert int(s_ps.step) == int(s_ref.step) == 1
         assert int(s_ps.opt["step"]) == int(s_ref.opt["step"])
+
+
+def test_phase_split_schedule_collective_inside_scan(rng):
+    """VERDICT r3 #9: pin the overlap STRUCTURE. The per-microbatch
+    reduce-scatter must be issued INSIDE the microbatch scan body (so
+    microbatch k's collective can overlap microbatch k+1's backward on real
+    ICI), and the params/moments all-gather must sit OUTSIDE the scan. The
+    jaxpr is backend-independent, so this holds the schedule shape even
+    though no multi-chip wall-clock can be measured here."""
+    from gsplat_tpu.parallel import phase_split_train_step
+    from gsplat_tpu.ops.rasterize import RasterizerConfig
+
+    B = 16
+    ds = make_synthetic_dataset(n_points=60, n_views=B, width=32, height=32, holdout=0)
+    model = GaussianModel.create(
+        ds.points, ds.colors, ds.scales, max_sh_degree=0, capacity=64
+    )
+    state = TrainState.create(model)
+    cams = batch_cameras([ds.cameras[i] for i in range(B)])
+    targets = jnp.stack([jnp.asarray(ds.images[i]) for i in range(B)])
+    bg = jnp.zeros(3, jnp.float32)
+    cfg = RasterizerConfig(width=32, height=32, mode="rgb", max_instances=4096, impl="scan")
+    mesh = make_mesh(8, axis="data")
+    jaxpr = jax.make_jaxpr(
+        lambda s, c, t: phase_split_train_step(
+            s, c, t, bg, 0,
+            config=cfg, opt_params=OptimizationParams(),
+            camera_extent=float(ds.camera_extent), mesh=mesh, n_micro=2,
+        )
+    )(state, cams, targets)
+
+    def walk(jx, in_scan):
+        """Yield (primitive_name, inside_scan) over all nested equations."""
+        for eqn in jx.eqns:
+            yield eqn.primitive.name, in_scan
+            for v in eqn.params.values():
+                for sub in jax.tree_util.tree_leaves(
+                    v, is_leaf=lambda x: hasattr(x, "jaxpr") or hasattr(x, "eqns")
+                ):
+                    inner = getattr(sub, "jaxpr", sub)
+                    if hasattr(inner, "eqns"):
+                        yield from walk(
+                            inner, in_scan or eqn.primitive.name == "scan"
+                        )
+
+    prims = list(walk(jaxpr.jaxpr, False))
+    rs_in_scan = [p for p, ins in prims if p == "reduce_scatter" and ins]
+    rs_outside = [p for p, ins in prims if p == "reduce_scatter" and not ins]
+    ag_in_scan = [p for p, ins in prims if p == "all_gather" and ins]
+    ag_outside = [p for p, ins in prims if p == "all_gather" and not ins]
+    n_params = len(state.model.params())
+    assert len(rs_in_scan) == n_params, (
+        f"expected one in-scan reduce-scatter per parameter, got {sorted(set(p for p, _ in prims))}"
+    )
+    assert not rs_outside, "reduce-scatter leaked out of the microbatch scan"
+    assert not ag_in_scan, "all-gather must not run per microbatch"
+    assert len(ag_outside) >= n_params  # params + mu + nu re-replication
