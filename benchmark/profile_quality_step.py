@@ -11,6 +11,13 @@ separates the suspects:
 
 Usage: /opt/venv/bin/python benchmark/profile_quality_step.py [CKPT] [--trace DIR]
 """
+import os
+
+# Persistent XLA compile cache: capacity-bucket regrowth recompiles the
+# 736k-scale train/refine programs ~13x per protocol run (60-135 s each);
+# cached, a resume or replay pays none of it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_tpu_cache"))
 import sys
 import time
 from pathlib import Path

@@ -13,6 +13,13 @@ Experiments (each resumable/skippable; run on the REAL TPU):
 Usage: /opt/venv/bin/python benchmark/quality_experiments.py [e2|e3|e4 ...]
 """
 import json
+import os
+
+# Persistent XLA compile cache: capacity-bucket regrowth recompiles the
+# 736k-scale train/refine programs ~13x per protocol run (60-135 s each);
+# cached, a resume or replay pays none of it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_tpu_cache"))
 import sys
 import time
 from pathlib import Path
@@ -120,6 +127,18 @@ def main():
         out["e7_recovery"] = _fresh(
             ds_hd, "default",
             evals=(2900, 3100, 3300, 3600, 4000, 4500), tag="default/trace",
+        )
+    if "e8" in want:
+        # View-sparsity hypothesis (RESULTS.md round-3 finding #2): the same
+        # recovery trace + the protocol's 7k row on the DENSE capture
+        # (atrium_hd160, 160 views ~ MipNeRF-360 view counts). If +1000
+        # recovery matches real-capture behavior here, the protocol's sick
+        # ADC 7k row is a capture-statistics artifact, not a dynamics bug.
+        ds160 = load_colmap("benchmark/scenes/atrium_hd160", scale=1,
+                            holdout=8, max_extent=float("inf"))
+        out["e8_hd160"] = _fresh(
+            ds160, "default",
+            evals=(2000, 2900, 3300, 4000, 5000, 7000), tag="default/hd160",
         )
     Path("benchmark/qexp_results.json").write_text(json.dumps(out, indent=1))
     log("wrote benchmark/qexp_results.json")

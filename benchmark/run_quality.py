@@ -7,6 +7,13 @@ Usage: /opt/venv/bin/python benchmark/run_quality.py [n_steps] [strategies...]
                    screen-size prune is resolution-dependent, see RESULTS.md)
 """
 import json
+import os
+
+# Persistent XLA compile cache: capacity-bucket regrowth recompiles the
+# 736k-scale train/refine programs ~13x per protocol run (60-135 s each);
+# cached, a resume or replay pays none of it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_tpu_cache"))
 import sys
 import time
 from pathlib import Path
