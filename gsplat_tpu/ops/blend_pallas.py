@@ -73,12 +73,16 @@ def _pixel_coords(tile_idx, gx):
     return px, py
 
 
-def _chunk_alpha(slab, px, py):
+def _chunk_alpha(slab, px, py, extra_mask=None):
     """alpha (P,K) of one slab against the tile's pixels.
 
     Applies the sigma>=0 skip, 0.99 cap, 1/255 floor (render.jl:90-95).
-    Padding instances have opacity 0 -> alpha 0. Returns
-    (alpha, opG, keep, dx, dy)."""
+    Padding instances have opacity 0 -> alpha 0. `extra_mask` (any shape
+    broadcastable to (P,K)) folds additional lane masks (the in-count test)
+    into the ONE select — the blend kernels are VPU-issue-bound, so every
+    merged pass counts (benchmark/micro5.py). Returns
+    (alpha, opG, keep, dx, dy); `keep` includes extra_mask, and alpha > 0
+    exactly where keep (opG >= ALPHA_MIN > 0 on the kept lanes)."""
     dx = slab[ROW_X : ROW_X + 1, :] - px  # (P, K)
     dy = slab[ROW_Y : ROW_Y + 1, :] - py
     a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
@@ -88,9 +92,10 @@ def _chunk_alpha(slab, px, py):
     sigma = b * dx * dy + 0.5 * (a * dx * dx + c * dy * dy)
     G = jnp.exp(-sigma)
     opG = op * G
-    alpha = jnp.minimum(ALPHA_MAX, opG)
-    keep = (sigma >= 0.0) & (alpha >= ALPHA_MIN)
-    alpha = jnp.where(keep, alpha, 0.0)
+    keep = (sigma >= 0.0) & (opG >= ALPHA_MIN)
+    if extra_mask is not None:
+        keep = keep & extra_mask
+    alpha = jnp.where(keep, jnp.minimum(ALPHA_MAX, opG), 0.0)
     return alpha, opG, keep, dx, dy
 
 
@@ -149,7 +154,7 @@ def _chunk_coef(slab, ox, oy):
     return coef, a, b, c, xl, yl
 
 
-def _chunk_alpha_mm(slab, pmono, coef):
+def _chunk_alpha_mm(slab, pmono, coef, extra_mask=None):
     """Matmul-basis alpha: same contract as _chunk_alpha (without dx/dy).
     Also returns sigma (the backward masks d alpha/d sigma where the
     sigma>=0 clamp is active)."""
@@ -160,9 +165,10 @@ def _chunk_alpha_mm(slab, pmono, coef):
     op = slab[ROW_OPACITY : ROW_OPACITY + 1, :]
     G = jnp.exp(-jnp.maximum(sigma, 0.0))
     opG = op * G
-    alpha = jnp.minimum(ALPHA_MAX, opG)
-    keep = (sigma >= -SIGMA_MM_TOL) & (alpha >= ALPHA_MIN)
-    alpha = jnp.where(keep, alpha, 0.0)
+    keep = (sigma >= -SIGMA_MM_TOL) & (opG >= ALPHA_MIN)
+    if extra_mask is not None:
+        keep = keep & extra_mask
+    alpha = jnp.where(keep, jnp.minimum(ALPHA_MAX, opG), 0.0)
     return alpha, opG, keep, sigma
 
 
@@ -288,19 +294,22 @@ def _fwd_kernel(
         get_dma(j, slot).wait()
         slab = slab_ref[slot]  # (F_PAD, CHUNK)
 
+        in_count = rank1 <= count - j * CHUNK  # scalar sub, one (P,K) cmp
         if sigma_mm:
             coef = _chunk_coef(slab, ox, oy)[0]
-            alpha = _chunk_alpha_mm(slab, pmono, coef)[0]
+            alpha, _opG, keep, _sig = _chunk_alpha_mm(
+                slab, pmono, coef, extra_mask=in_count
+            )
         else:
-            alpha = _chunk_alpha(slab, px, py)[0]
-        in_count = rank1 + j * CHUNK <= count
-        alpha = jnp.where(in_count, alpha, 0.0)
+            alpha, _opG, keep, _dx, _dy = _chunk_alpha(
+                slab, px, py, extra_mask=in_count
+            )
 
         log1m = jnp.log1p(-alpha)  # 0 for dead lanes
         s_incl = _mm(log1m, tri_incl)  # (P,K) inclusive cumsum
         logT_incl = logT + s_incl  # (P,K)
-        alive = alpha > 0.0
-        include = alive & (logT_incl >= LOG_T_EPS) & (done < 0.5)
+        not_term = logT_incl >= LOG_T_EPS  # shared by include AND term
+        include = keep & not_term & (done < 0.5)
         T_before = jnp.exp(logT + (s_incl - log1m))
         w = jnp.where(include, alpha * T_before, 0.0)  # (P,K)
 
@@ -311,10 +320,11 @@ def _fwd_kernel(
         )
         color = color + c_add
 
+        c_chunk = jnp.max(jnp.where(include, rank1, 0), axis=1, keepdims=True)
         contrib = jnp.maximum(
-            contrib, jnp.max(jnp.where(include, j * CHUNK + rank1, 0), axis=1, keepdims=True)
+            contrib, jnp.where(c_chunk > 0, c_chunk + j * CHUNK, 0)
         )
-        term = (alive & (logT_incl < LOG_T_EPS)).astype(jnp.float32)
+        term = (keep & ~not_term).astype(jnp.float32)
         done = jnp.maximum(done, jnp.max(term, axis=1, keepdims=True))
         logT = logT + jnp.sum(jnp.where(include, log1m, 0.0), axis=1, keepdims=True)
         return j + 1, color, logT, done, contrib
@@ -394,22 +404,25 @@ def _fwd_kernel_tb(
         new_color, new_logT, new_done, new_contrib = [], [], [], []
         for b in range(tb):
             slab = slab_ref[slot, b]  # (F_PAD, CHUNK)
+            in_count = rank1 <= counts[b] - j * CHUNK
             if sigma_mm:
                 pmono, ox, oy = monos[b]
                 coef = _chunk_coef(slab, ox, oy)[0]
-                alpha = _chunk_alpha_mm(slab, pmono, coef)[0]
+                alpha, _o, keep, _s = _chunk_alpha_mm(
+                    slab, pmono, coef, extra_mask=in_count
+                )
             else:
                 px, py = coords[b]
-                alpha = _chunk_alpha(slab, px, py)[0]
-            in_count = rank1 + j * CHUNK <= counts[b]
-            alpha = jnp.where(in_count, alpha, 0.0)
+                alpha, _o, keep, _dx, _dy = _chunk_alpha(
+                    slab, px, py, extra_mask=in_count
+                )
 
             log1m = jnp.log1p(-alpha)
             s_incl = _mm(log1m, tri_incl)
             logT_b = logT[b]
             logT_incl = logT_b + s_incl
-            alive = alpha > 0.0
-            include = alive & (logT_incl >= LOG_T_EPS) & (done[b] < 0.5)
+            not_term = logT_incl >= LOG_T_EPS
+            include = keep & not_term & (done[b] < 0.5)
             T_before = jnp.exp(logT_b + (s_incl - log1m))
             w = jnp.where(include, alpha * T_before, 0.0)
 
@@ -420,11 +433,11 @@ def _fwd_kernel_tb(
                 precision=jax.lax.Precision.HIGHEST,
             )
             new_color.append(color[b] + c_add)
+            c_chunk = jnp.max(jnp.where(include, rank1, 0), axis=1, keepdims=True)
             new_contrib.append(jnp.maximum(
-                contrib[b],
-                jnp.max(jnp.where(include, j * CHUNK + rank1, 0), axis=1, keepdims=True),
+                contrib[b], jnp.where(c_chunk > 0, c_chunk + j * CHUNK, 0)
             ))
-            term = (alive & (logT_incl < LOG_T_EPS)).astype(jnp.float32)
+            term = (keep & ~not_term).astype(jnp.float32)
             # Out of chunks for this tile -> done (keeps early exit live).
             term = jnp.maximum(term, (j + 1 >= ncs[b]).astype(jnp.float32))
             new_done.append(jnp.maximum(done[b], jnp.max(term, axis=1, keepdims=True)))
@@ -576,7 +589,9 @@ def _bwd_kernel(
     if sigma_mm:
         pix = _pixel_monomials(tile_ids_ref[t], gx)
     else:
-        pix = _pixel_coords(tile_ids_ref[t], gx)
+        pix = _pixel_coords(tile_ids_ref[t], gx) + _pixel_monomials(
+            tile_ids_ref[t], gx
+        )
     sfx_incl = _tri(CHUNK, lambda r, c: r >= c)  # x @ . = inclusive suffix sum
     sfx_excl = _tri(CHUNK, lambda r, c: r > c)  # x @ . = exclusive suffix sum
     lane1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
@@ -655,24 +670,32 @@ def _bwd_chunk_math(
     """One chunk of the back-to-front replay: reconstruct per-instance
     transmittance from the running logT, compute every cotangent row, and
     advance the (logT_after, s_carry) recurrence. `pix` is the precomputed
-    (pmono, ox, oy) monomials in sigma_mm mode, else (px, py) pixel coords.
+    (pmono, ox, oy) monomials in sigma_mm mode, else
+    (px, py, pmono, ox, oy) — the direct mode also carries the tile-local
+    monomials because its five conic/mean pixel reductions are recombined
+    from ONE (6,P)@(P,K) matmul (the sigma_mm recombination) instead of
+    ~16 VPU passes of (P,K) multiply+reduce.
     Returns (vfull (F_PAD, CHUNK), new_logT_after, new_s_carry)."""
+    # Replay bound per lane: within count AND within some pixel's n_contrib
+    # (lane1 is chunk-local; the bases are scalar / (P,1) subs).
+    in_mask = (lane1 <= count - j * CHUNK) & (lane1 <= n_contrib - j * CHUNK)
     if sigma_mm:
         pmono, ox, oy = pix
         coef, ca, cb, cc, xl, yl = _chunk_coef(slab, ox, oy)
-        alpha, opG, keep, sigma = _chunk_alpha_mm(slab, pmono, coef)
+        alpha, opG, keep, sigma = _chunk_alpha_mm(
+            slab, pmono, coef, extra_mask=in_mask
+        )
     else:
-        px, py = pix
-        alpha, opG, keep, dx, dy = _chunk_alpha(slab, px, py)
-    rank1 = j * CHUNK + lane1  # (P,K)
-    include = (rank1 <= count) & (alpha > 0.0) & (rank1 <= n_contrib)
-    alpha = jnp.where(include, alpha, 0.0)
+        px, py, pmono, ox, oy = pix
+        alpha, opG, keep, _dx, _dy = _chunk_alpha(
+            slab, px, py, extra_mask=in_mask
+        )
 
     log1m = jnp.log1p(-alpha)
     ss = _mm(log1m, sfx_incl)  # (P,K) inclusive suffix sum
     # T just before instance i = T_after_chunk / prod_{j>=i}(1-a_j)
     T_before = jnp.exp(logT_after - ss)
-    w = alpha * T_before  # (P,K), zero where excluded
+    w = alpha * T_before  # (P,K), zero where excluded (alpha 0 there)
 
     feat = slab[ROW_FEAT : ROW_FEAT + n_feat, :]  # (C,K)
     # gf[p,k] = sum_c g_color[c,p] * feat[c,k]
@@ -684,11 +707,13 @@ def _bwd_chunk_math(
     s_i = _mm(wgf, sfx_excl) + s_carry  # (P,K)
 
     one_m = 1.0 - alpha
-    v_alpha = jnp.where(include, T_before * gf - (s_i + gT_term) / one_m, 0.0)
-
     # alpha = min(0.99, op*G): zero grad on the clamped branch
     # (matches blend_scan; diverges from render.jl:234 — see module doc).
-    v_opG = jnp.where(include & (opG < ALPHA_MAX) & keep, v_alpha, 0.0)
+    v_opG = jnp.where(
+        keep & (opG < ALPHA_MAX),
+        T_before * gf - (s_i + gT_term) / one_m,
+        0.0,
+    )
     op = slab[ROW_OPACITY : ROW_OPACITY + 1, :]
     safe_op = jnp.where(op > 0.0, op, 1.0)
     G = opG / safe_op
@@ -699,33 +724,29 @@ def _bwd_chunk_math(
         # The clamp G = exp(-max(sigma, 0)) has zero slope on the
         # clamped (sigma <= 0) branch.
         v_sigma = jnp.where(sigma > 0.0, v_sigma, 0.0)
-        # All five pixel reductions from ONE (6,P)@(P,K) matmul:
-        # vm rows = sums of v_sigma * [u^2, uv, v^2, u, v, 1].
-        vm = jax.lax.dot_general(
-            pmono, v_sigma, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (6, K)
-        vm0, vm1, vm2 = vm[0:1, :], vm[1:2, :], vm[2:3, :]
-        vm3, vm4, vm5 = vm[3:4, :], vm[4:5, :], vm[5:6, :]
-        # dx = xl - u, dy = yl - v (tile-local): expand each sum.
-        v_a = 0.5 * (xl * xl * vm5 - 2.0 * xl * vm3 + vm0)
-        v_b = xl * yl * vm5 - xl * vm4 - yl * vm3 + vm1
-        v_c = 0.5 * (yl * yl * vm5 - 2.0 * yl * vm4 + vm2)
-        sx = xl * vm5 - vm3  # sum v_sigma * dx
-        sy = yl * vm5 - vm4  # sum v_sigma * dy
-        v_x = ca * sx + cb * sy
-        v_y = cb * sx + cc * sy
     else:
-        a = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
-        b = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
-        c = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
-        v_a = jnp.sum(v_sigma * 0.5 * dx * dx, axis=0, keepdims=True)
-        v_b = jnp.sum(v_sigma * dx * dy, axis=0, keepdims=True)
-        v_c = jnp.sum(v_sigma * 0.5 * dy * dy, axis=0, keepdims=True)
-        # sigma = b dx dy + 0.5(a dx^2 + c dy^2), dx = x_i - px
-        v_x = jnp.sum(v_sigma * (a * dx + b * dy), axis=0, keepdims=True)
-        v_y = jnp.sum(v_sigma * (b * dx + c * dy), axis=0, keepdims=True)
+        ca = slab[ROW_CONIC_A : ROW_CONIC_A + 1, :]
+        cb = slab[ROW_CONIC_B : ROW_CONIC_B + 1, :]
+        cc = slab[ROW_CONIC_C : ROW_CONIC_C + 1, :]
+        xl = slab[ROW_X : ROW_X + 1, :] - ox  # (1, K) tile-local
+        yl = slab[ROW_Y : ROW_Y + 1, :] - oy
+    # All five pixel reductions from ONE (6,P)@(P,K) matmul:
+    # vm rows = sums of v_sigma * [u^2, uv, v^2, u, v, 1] (tile-local).
+    vm = jax.lax.dot_general(
+        pmono, v_sigma, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (6, K)
+    vm0, vm1, vm2 = vm[0:1, :], vm[1:2, :], vm[2:3, :]
+    vm3, vm4, vm5 = vm[3:4, :], vm[4:5, :], vm[5:6, :]
+    # dx = xl - u, dy = yl - v (tile-local): expand each sum.
+    v_a = 0.5 * (xl * xl * vm5 - 2.0 * xl * vm3 + vm0)
+    v_b = xl * yl * vm5 - xl * vm4 - yl * vm3 + vm1
+    v_c = 0.5 * (yl * yl * vm5 - 2.0 * yl * vm4 + vm2)
+    sx = xl * vm5 - vm3  # sum v_sigma * dx
+    sy = yl * vm5 - vm4  # sum v_sigma * dy
+    v_x = ca * sx + cb * sy
+    v_y = cb * sx + cc * sy
     # v_feat[c,k] = sum_p g_color[c,p] * w[p,k]
     v_feat = jax.lax.dot_general(
         g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
@@ -780,7 +801,11 @@ def _bwd_kernel_tb(
     if sigma_mm:
         pixs = [_pixel_monomials(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
     else:
-        pixs = [_pixel_coords(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
+        pixs = [
+            _pixel_coords(tile_ids_ref[t * tb + b], gx)
+            + _pixel_monomials(tile_ids_ref[t * tb + b], gx)
+            for b in range(tb)
+        ]
     sfx_incl = _tri(CHUNK, lambda r, c: r >= c)
     sfx_excl = _tri(CHUNK, lambda r, c: r > c)
     lane1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
