@@ -176,30 +176,51 @@ def main():
 
     def render_bench(width, height, budget, steps):
         """Time the pallas forward at (width, height); grows the instance
-        budget on overflow first (a truncated render would inflate FPS)."""
+        budget on overflow first (a truncated render would inflate FPS).
+
+        Rendering is forward-only, so the table uses sub-chunk alignment
+        (chunk=32) with a demand-fitted budget: at a 1080p tile grid the
+        CHUNK=128 alignment alone forces >= n_tiles*128 padded slots
+        (4.4x the real instances on the trained bench model), and every
+        binning/gather/repack stage scales with the table size
+        (benchmark/micro15.py). BENCH_RENDER_CHUNK=128 restores the
+        trainable layout."""
         from gsplat_tpu.ops.rasterize import RasterizerConfig, render
 
+        chunk = int(os.environ.get("BENCH_RENDER_CHUNK", 32))
         rcams = [c.with_resolution(width, height) for c in cams]
         args = model.render_args()
-        for _ in range(4):
-            cfg = RasterizerConfig(
-                width=width, height=height, mode="rgb",
-                max_instances=budget, impl="pallas",
-            )
-            fwd = jax.jit(
-                lambda args, cam: render(*args, camera=cam, config=cfg, sh_degree=3)
-            )
-            out, aux = fwd(args, rcams[0])
-            if not bool(aux["overflow"]):
-                break
-            budget = max(budget * 3 // 2, int(aux["p_instances"]) * 9 // 8)
-            budget = -(-budget // 1024) * 1024
-            print(f"[render bench] overflow; budget -> {budget}", file=sys.stderr)
-        _ = np.asarray(out.ravel()[0])
+
+        def fit(budget):
+            for _ in range(4):
+                cfg = RasterizerConfig(
+                    width=width, height=height, mode="rgb",
+                    max_instances=budget, impl="pallas", chunk=chunk,
+                )
+                fwd = jax.jit(
+                    lambda args, cam: render(*args, camera=cam, config=cfg, sh_degree=3)
+                )
+                img, aux = fwd(args, rcams[0])
+                if not bool(aux["overflow"]):
+                    return fwd, img, int(aux["p_instances"])
+                budget = max(budget * 3 // 2, int(aux["p_instances"]) * 9 // 8)
+                budget = -(-budget // 1024) * 1024
+                print(f"[render bench] overflow; budget -> {budget}", file=sys.stderr)
+            return fwd, img, int(aux["p_instances"])
+
+        fwd, img, demand = fit(budget)
+        # Shrink to the observed demand (+12.5% headroom): the render worker
+        # steady-state, matching the Trainer's budget auto-fit.
+        fitted = max(-(-(demand * 9 // 8) // 4096) * 4096, 1 << 15)
+        if fitted < budget:
+            print(f"[render bench] demand {demand}; budget {budget} -> {fitted}",
+                  file=sys.stderr)
+            fwd, img, _ = fit(fitted)
+        _ = np.asarray(img.ravel()[0])
         t0 = time.perf_counter()
         for i in range(steps):
-            out, _aux = fwd(args, rcams[i % 8])
-        _ = np.asarray(out.ravel()[0])
+            img, _aux = fwd(args, rcams[i % 8])
+        _ = np.asarray(img.ravel()[0])
         return steps / (time.perf_counter() - t0)
 
     if MODE == "render":

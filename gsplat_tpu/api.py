@@ -298,6 +298,7 @@ def render_views(
         cfg = RasterizerConfig(
             width=cam.width, height=cam.height, mode=mode,
             max_instances=max_instances, impl=impl,
+            chunk=32,  # forward-only table (see viewer.py / micro15)
         )
         return fwd(args, cam, cfg), os.path.join(
             out_dir, os.path.splitext(dataset.names[vid])[0] + ".png")

@@ -257,11 +257,23 @@ def _fwd_kernel(
     n_feat: int,
     i_pad: int,
     sigma_mm: bool = False,
+    sub_align: bool = False,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
-    nc = pl.cdiv(count, jnp.int32(CHUNK))
+    # Sub-chunk alignment (forward-only render tables, align < CHUNK): the
+    # tile's instances start at lane `base` of the enclosing CHUNK-aligned
+    # slab window; DMA offsets stay CHUNK-aligned and the rank masks shift
+    # by `base`. Leading lanes belong to the PREVIOUS tile — the in_count
+    # lower bound excludes them (their alpha select zeroes everything).
+    if sub_align:
+        astart = (start // jnp.int32(CHUNK)) * jnp.int32(CHUNK)
+        base = start - astart
+    else:
+        astart = start
+        base = jnp.int32(0)
+    nc = pl.cdiv(base + count, jnp.int32(CHUNK))
     max_off = i_pad - CHUNK
 
     if sigma_mm:
@@ -272,7 +284,7 @@ def _fwd_kernel(
     rank1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)  # (P,K) 1-based
 
     def get_dma(j, slot):
-        off = jnp.clip(start + j * CHUNK, 0, max_off)
+        off = jnp.clip(astart + j * CHUNK, 0, max_off)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
             slab_ref.at[slot],
@@ -294,7 +306,11 @@ def _fwd_kernel(
         get_dma(j, slot).wait()
         slab = slab_ref[slot]  # (F_PAD, CHUNK)
 
-        in_count = rank1 <= count - j * CHUNK  # scalar sub, one (P,K) cmp
+        # Lane window of this tile's instances in chunk j: 1-based tile rank
+        # = rank1 + j*CHUNK - base, valid in [1, count].
+        in_count = rank1 <= base + count - j * CHUNK  # scalar sub, one cmp
+        if sub_align:
+            in_count &= rank1 > base - j * CHUNK
         if sigma_mm:
             coef = _chunk_coef(slab, ox, oy)[0]
             alpha, _opG, keep, _sig = _chunk_alpha_mm(
@@ -322,7 +338,7 @@ def _fwd_kernel(
 
         c_chunk = jnp.max(jnp.where(include, rank1, 0), axis=1, keepdims=True)
         contrib = jnp.maximum(
-            contrib, jnp.where(c_chunk > 0, c_chunk + j * CHUNK, 0)
+            contrib, jnp.where(c_chunk > 0, c_chunk + j * CHUNK - base, 0)
         )
         term = (keep & ~not_term).astype(jnp.float32)
         done = jnp.maximum(done, jnp.max(term, axis=1, keepdims=True))
@@ -360,6 +376,7 @@ def _fwd_kernel_tb(
     i_pad: int,
     tb: int,
     sigma_mm: bool = False,
+    sub_align: bool = False,
 ):
     """Forward blend with TB tiles per grid step: amortizes the ~0.7 us
     per-grid-step fixed cost (benchmark/micro5.py) over TB tiles. The chunk
@@ -369,7 +386,13 @@ def _fwd_kernel_tb(
     max_off = i_pad - CHUNK
     starts = [tile_start_ref[t * tb + b] for b in range(tb)]
     counts = [tile_count_ref[t * tb + b] for b in range(tb)]
-    ncs = [pl.cdiv(c, jnp.int32(CHUNK)) for c in counts]
+    if sub_align:  # see _fwd_kernel: lane-offset ranks in aligned slabs
+        astarts = [(s // jnp.int32(CHUNK)) * jnp.int32(CHUNK) for s in starts]
+        bases = [s - a for s, a in zip(starts, astarts)]
+    else:
+        astarts = starts
+        bases = [jnp.int32(0)] * tb
+    ncs = [pl.cdiv(bs + c, jnp.int32(CHUNK)) for bs, c in zip(bases, counts)]
     nc = functools.reduce(jnp.maximum, ncs)
     if sigma_mm:
         monos = [_pixel_monomials(tile_ids_ref[t * tb + b], gx) for b in range(tb)]
@@ -379,7 +402,7 @@ def _fwd_kernel_tb(
     rank1 = 1 + jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
 
     def get_dma(j, slot, b):
-        off = jnp.clip(starts[b] + j * CHUNK, 0, max_off)
+        off = jnp.clip(astarts[b] + j * CHUNK, 0, max_off)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
             slab_ref.at[slot, b],
@@ -404,7 +427,9 @@ def _fwd_kernel_tb(
         new_color, new_logT, new_done, new_contrib = [], [], [], []
         for b in range(tb):
             slab = slab_ref[slot, b]  # (F_PAD, CHUNK)
-            in_count = rank1 <= counts[b] - j * CHUNK
+            in_count = rank1 <= bases[b] + counts[b] - j * CHUNK
+            if sub_align:
+                in_count &= rank1 > bases[b] - j * CHUNK
             if sigma_mm:
                 pmono, ox, oy = monos[b]
                 coef = _chunk_coef(slab, ox, oy)[0]
@@ -435,7 +460,7 @@ def _fwd_kernel_tb(
             new_color.append(color[b] + c_add)
             c_chunk = jnp.max(jnp.where(include, rank1, 0), axis=1, keepdims=True)
             new_contrib.append(jnp.maximum(
-                contrib[b], jnp.where(c_chunk > 0, c_chunk + j * CHUNK, 0)
+                contrib[b], jnp.where(c_chunk > 0, c_chunk + j * CHUNK - bases[b], 0)
             ))
             term = (keep & ~not_term).astype(jnp.float32)
             # Out of chunks for this tile -> done (keeps early exit live).
@@ -472,7 +497,7 @@ def _fwd_kernel_tb(
 
 def _blend_fwd_impl(
     inst, tile_start, tile_count, *, grid_wh, n_feat, tile_ids=None,
-    tiles_per_step=1, sigma_mm=False,
+    tiles_per_step=1, sigma_mm=False, sub_align=False,
 ):
     gx, gy = grid_wh
     n_tiles = tile_start.shape[0]
@@ -505,7 +530,8 @@ def _blend_fwd_impl(
 
     if tb == 1:
         kernel = functools.partial(
-            _fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad, sigma_mm=sigma_mm
+            _fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad, sigma_mm=sigma_mm,
+            sub_align=sub_align,
         )
         out_spec = pl.BlockSpec(
             (1, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -517,7 +543,7 @@ def _blend_fwd_impl(
     else:
         kernel = functools.partial(
             _fwd_kernel_tb, gx=gx, n_feat=n_feat, i_pad=i_pad, tb=tb,
-            sigma_mm=sigma_mm,
+            sigma_mm=sigma_mm, sub_align=sub_align,
         )
         out_spec = pl.BlockSpec(
             (tb, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -990,6 +1016,7 @@ def _blend(
     return _blend_fwd_impl(
         inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat,
         tile_ids=tile_ids, tiles_per_step=tiles_per_step, sigma_mm=sigma_mm,
+        sub_align=chunk < CHUNK,
     )
 
 
@@ -1000,6 +1027,7 @@ def _vjp_fwd(
     color, T_final, n_contrib = _blend_fwd_impl(
         inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat,
         tile_ids=tile_ids, tiles_per_step=tiles_per_step, sigma_mm=sigma_mm,
+        sub_align=chunk < CHUNK,
     )
     return (color, T_final, n_contrib), (
         inst, tile_start, tile_count, tile_ids, T_final, n_contrib
@@ -1007,6 +1035,13 @@ def _vjp_fwd(
 
 
 def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, sigma_mm, res, g):
+    if chunk != CHUNK:
+        raise NotImplementedError(
+            "The Pallas backward blend requires CHUNK-aligned tables: its "
+            "atomics-free cotangent writes are whole disjoint slabs per "
+            "tile. Sub-chunk alignment (RasterizerConfig chunk < 128) is a "
+            "forward-only render optimization — train with chunk=128."
+        )
     inst, tile_start, tile_count, tile_ids, T_final, n_contrib = res
     g_color, g_T, _g_contrib = g
     n_tiles = T_final.shape[0]
@@ -1072,7 +1107,13 @@ def blend_pallas(
     """
     import os
 
-    assert chunk == CHUNK, "Pallas blend is specialized to CHUNK=128 slabs."
+    # chunk == CHUNK: the table's tile starts are CHUNK-aligned (trainable).
+    # chunk < CHUNK (must divide it): forward-only sub-chunk alignment — the
+    # table is `chunk`-aligned, shrinking I_pad ~(CHUNK/chunk)x at high tile
+    # counts (1080p: 8160 tiles x 128 forced >= 1.04M slots for ~230k real
+    # instances); the kernels DMA the enclosing CHUNK-aligned slabs and mask
+    # lanes. The backward refuses (see _vjp_bwd).
+    assert CHUNK % chunk == 0, "chunk must divide the CHUNK=128 slab width"
     if tiles_per_step is None:
         tiles_per_step = int(
             os.environ.get("GSPLAT_BLEND_TB", DEFAULT_TILES_PER_STEP)

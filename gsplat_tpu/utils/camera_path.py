@@ -197,8 +197,9 @@ def capture_path(
         width=base_camera.width,
         height=base_camera.height,
         mode="rgb",
-        max_instances=max_instances or ((1 << 21) if on_tpu else (1 << 16)),
+        max_instances=max_instances or ((1 << 20) if on_tpu else (1 << 16)),
         impl="pallas" if on_tpu else "scan",
+        chunk=32,  # forward-only table (see viewer.py / micro15)
     )
     deg = model.max_sh_degree if sh_degree is None else sh_degree
 

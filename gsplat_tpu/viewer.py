@@ -404,12 +404,17 @@ class Viewer:
         self.model = model
         self.dataset = dataset
         on_tpu = jax.default_backend() == "tpu"
+        # chunk=32: sub-chunk instance-table alignment — a forward-only
+        # layout (the viewer never differentiates) that cuts the alignment
+        # padding ~4x at interactive tile grids; 38.9 -> 49.6 FPS at 1080p,
+        # image-identical (benchmark/micro15.py).
         self.config = RasterizerConfig(
             width=width,
             height=height,
             mode="rgb",
-            max_instances=max_instances or ((1 << 21) if on_tpu else (1 << 16)),
+            max_instances=max_instances or ((1 << 20) if on_tpu else (1 << 16)),
             impl="pallas" if on_tpu else "scan",
+            chunk=32,
         )
         self.base_camera = camera or Camera.create(
             width=width, height=height,

@@ -231,3 +231,53 @@ def test_pallas_bwd_early_exit_bound(rng):
         s, c = int(starts[ti]), int(counts[ti])
         dead_from = s + int(per_tile_max[ti])
         assert np.all(g_p[dead_from : s + c] == 0.0)
+
+
+# --- sub-chunk alignment (forward-only render tables, chunk < 128) ----------
+
+
+@pytest.mark.parametrize("align,tb", [(32, 1), (32, 4), (64, 1), (16, 2)])
+def test_pallas_forward_sub_align(rng, align, tb):
+    """chunk<CHUNK tables: tiles start at `align` boundaries INSIDE shared
+    128-wide DMA slabs (lane-offset rank masks). Values and n_contrib must
+    match the scan spec run on the same table."""
+    grid = (3, 2)
+    n_feat = 3
+    inst, starts, counts = make_instances(rng, grid, 200, n_feat, align)
+    assert any(s % CHUNK for s in starts), "layout never exercised sub-align"
+    args = (jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts))
+    c_p, T_p, n_p = blend_pallas(
+        *args, grid_wh=grid, n_feat=n_feat, chunk=align, tiles_per_step=tb
+    )
+    c_s, T_s, n_s = blend_scan(*args, grid_wh=grid, n_feat=n_feat, chunk=align)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_s), rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+def test_pallas_sub_align_saturated(rng):
+    """Early termination with lane-offset ranks: a tile whose instances
+    begin mid-slab must terminate at the same contribution count."""
+    grid = (2, 2)
+    inst, starts, counts = make_instances(rng, grid, 300, 3, 32, opacity_scale=3.0)
+    args = (jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts))
+    c_p, T_p, n_p = blend_pallas(*args, grid_wh=grid, n_feat=3, chunk=32)
+    c_s, T_s, n_s = blend_scan(*args, grid_wh=grid, n_feat=3, chunk=32)
+    assert np.asarray(T_s).min() < 1e-3, "saturation not reached; weak test"
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+def test_pallas_sub_align_backward_refuses(rng):
+    """The atomics-free backward requires CHUNK-aligned slabs; chunk<128
+    must fail loudly under differentiation, not silently corrupt."""
+    grid = (2, 1)
+    inst, starts, counts = make_instances(rng, grid, 100, 3, 32)
+    args = (jnp.asarray(starts), jnp.asarray(counts))
+
+    def loss(x):
+        c, T, _ = blend_pallas(x, *args, grid_wh=grid, n_feat=3, chunk=32)
+        return jnp.sum(c)
+
+    with pytest.raises(NotImplementedError, match="forward-only"):
+        jax.grad(loss)(jnp.asarray(inst))

@@ -267,3 +267,31 @@ def test_tight_radius_is_output_identical(rng, monkeypatch):
         scale = max(np.abs(a).max(), 1e-12)
         np.testing.assert_allclose(b / scale, a / scale, rtol=0, atol=1e-5)
     assert demand1 < demand0, (demand1, demand0)
+
+
+def test_sub_chunk_alignment_render_identical(rng):
+    """A chunk<128 (forward-only) config must produce the same image as the
+    trainable chunk=128 config — same instances, same per-tile depth order,
+    only the table layout differs — while demanding fewer padded slots.
+    Exercises the full pipeline seam: build_instances(chunk=32) feeding the
+    Pallas lane-offset forward (interpret mode on CPU)."""
+    means, quats, scales, opac, shs = make_scene(rng, n=150)
+    cam = make_camera()
+    base = dict(width=64, height=64, mode="rgb", max_instances=8192,
+                impl="pallas")
+    cfg128 = RasterizerConfig(chunk=128, **base)
+    cfg32 = RasterizerConfig(chunk=32, **base)
+    args = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(shs))
+    img128, aux128 = rasterize(*args, camera=cam, config=cfg128, sh_degree=0)
+    img32, aux32 = rasterize(*args, camera=cam, config=cfg32, sh_degree=0)
+    assert not bool(aux128["overflow"]) and not bool(aux32["overflow"])
+    np.testing.assert_allclose(
+        np.asarray(img32), np.asarray(img128), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(aux32["n_contrib"]), np.asarray(aux128["n_contrib"])
+    )
+    assert int(aux32["n_instances"]) == int(aux128["n_instances"])
+    # The point of the feature: alignment padding shrinks.
+    assert int(aux32["p_instances"]) < int(aux128["p_instances"])
