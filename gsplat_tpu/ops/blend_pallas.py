@@ -497,7 +497,7 @@ def _fwd_kernel_tb(
 
 def _blend_fwd_impl(
     inst, tile_start, tile_count, *, grid_wh, n_feat, tile_ids=None,
-    tiles_per_step=1, sigma_mm=False, sub_align=False,
+    tiles_per_step=1, sigma_mm=False, sub_align=False, algo="cm",
 ):
     gx, gy = grid_wh
     n_tiles = tile_start.shape[0]
@@ -528,7 +528,19 @@ def _blend_fwd_impl(
         tile_ids = jnp.take(tile_ids, order)
         unsort = jnp.argsort(order)
 
-    if tb == 1:
+    if algo == "pm":
+        kernel = functools.partial(
+            _fwd_kernel_pm, gx=gx, n_feat=n_feat, i_pad=i_pad, tb=tb,
+        )
+        out_spec = pl.BlockSpec(
+            (tb, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [
+            pltpu.VMEM((2, tb, F_PAD, CHUNK), jnp.float32),
+            pltpu.VMEM((CHUNK, F_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, tb)),
+        ]
+    elif tb == 1:
         kernel = functools.partial(
             _fwd_kernel, gx=gx, n_feat=n_feat, i_pad=i_pad, sigma_mm=sigma_mm,
             sub_align=sub_align,
@@ -575,6 +587,198 @@ def _blend_fwd_impl(
     T_final = packed[:, n_feat, :]  # (T, P)
     n_contrib = packed[:, n_feat + 1, :].astype(jnp.int32)
     return color, T_final, n_contrib
+
+
+# ---------------------------------------------------------------------------
+# Pixel-major forward ("pm"): sparse-tile kernel
+#
+# The chunk-major kernels put instances on LANES: every tile visit pays
+# (P=256, K=128) vector passes even when the tile holds a handful of real
+# instances — at a 1080p grid the mean tile has ~30 instances, so ~77% of
+# every vector op is masked-lane waste (benchmark/micro15.py: the blend is
+# 12.4 of 20.2 ms). This kernel flips the layout: the tile's 256 PIXELS ride
+# the lanes (dense by construction) and instances advance in 8-wide SUBLANE
+# groups, so a 30-instance tile runs 4 group iterations of (8, 256) ops
+# instead of one (256, 128) pass — the vector work scales with ceil(count/8)
+# instead of ceil(count/128)*128.
+#
+# With only 8 instances per step, transmittance needs no log-space matmul:
+# the within-group exclusive cumulative product of (1 - alpha) is three
+# rolled multiplies (Hillis-Steele over sublanes), and the only
+# transcendental left is exp(-sigma). T is carried linearly per tile
+# (f32 holds 1e-4..1 fine; termination quenches it long before denormals).
+#
+# Forward-only: the backward needs the chunk-major disjoint-slab writes.
+# Selected automatically for sub-chunk (render) tables — see blend_pallas().
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_pm(
+    tile_ids_ref,  # (T_pad,) i32 scalar prefetch
+    tile_start_ref,
+    tile_count_ref,
+    inst_ref,  # (F_PAD, I_pad) ANY
+    out_ref,  # (TB, OUT_ROWS, P)
+    slab_ref,  # VMEM (2, TB, F_PAD, CHUNK)
+    st_ref,  # VMEM (CHUNK, F_PAD) transposed slab (reused across b)
+    dma_sem,  # (2, TB)
+    *,
+    gx: int,
+    n_feat: int,
+    i_pad: int,
+    tb: int,
+):
+    t = pl.program_id(0)
+    max_off = i_pad - CHUNK
+    starts = [tile_start_ref[t * tb + b] for b in range(tb)]
+    counts = [tile_count_ref[t * tb + b] for b in range(tb)]
+    astarts = [(s // jnp.int32(CHUNK)) * jnp.int32(CHUNK) for s in starts]
+    bases = [s - a for s, a in zip(starts, astarts)]
+    ncs = [pl.cdiv(bs + c, jnp.int32(CHUNK)) for bs, c in zip(bases, counts)]
+    nc = functools.reduce(jnp.maximum, ncs)
+
+    # (1, P) pixel-center coords: pixels on LANES.
+    def pix(b):
+        tid = tile_ids_ref[t * tb + b]
+        tx = tid % gx
+        ty = tid // gx
+        k = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        px = (tx * TILE + k % TILE).astype(jnp.float32)
+        py = (ty * TILE + k // TILE).astype(jnp.float32)
+        return px, py
+
+    coords = [pix(b) for b in range(tb)]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)  # sublane index
+
+    def get_dma(j, slot, b):
+        off = jnp.clip(astarts[b] + j * CHUNK, 0, max_off)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+            slab_ref.at[slot, b],
+            dma_sem.at[slot, b],
+        )
+
+    for b in range(tb):
+        get_dma(0, 0, b).start()
+
+    def cond(carry):
+        j, _color, _T, done, _contrib = carry
+        return (j < nc) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        j, color, T, done, contrib = carry
+        slot = j % jnp.int32(2)
+        for b in range(tb):
+            get_dma(j + 1, 1 - slot, b).start()
+
+        new_color, new_T, new_done, new_contrib = [], [], [], []
+        for b in range(tb):
+            get_dma(j, slot, b).wait()
+            # Transpose once per visit: instances onto sublanes.
+            st_ref[:] = slab_ref[slot, b][:].T  # (CHUNK, F_PAD)
+            px, py = coords[b]
+            base, count = bases[b], counts[b]
+            # Group window of this tile's rows within chunk j.
+            lo = jnp.maximum(base - j * CHUNK, 0)
+            hi = jnp.minimum(base + count - j * CHUNK, CHUNK)
+            g0 = lo // 8
+            g1 = pl.cdiv(jnp.maximum(hi, lo), jnp.int32(8))
+
+            def group(g, acc):
+                color_b, T_b, done_b, contrib_b = acc
+
+                def live(acc):
+                    color_b, T_b, done_b, contrib_b = acc
+                    blk = st_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :]  # (8, F_PAD)
+                    x = blk[:, ROW_X : ROW_X + 1]  # (8, 1)
+                    y = blk[:, ROW_Y : ROW_Y + 1]
+                    a = blk[:, ROW_CONIC_A : ROW_CONIC_A + 1]
+                    bb = blk[:, ROW_CONIC_B : ROW_CONIC_B + 1]
+                    c = blk[:, ROW_CONIC_C : ROW_CONIC_C + 1]
+                    op = blk[:, ROW_OPACITY : ROW_OPACITY + 1]
+                    dx = x - px  # (8, P)
+                    dy = y - py
+                    sigma = bb * dx * dy + 0.5 * (a * dx * dx + c * dy * dy)
+                    opG = op * jnp.exp(-sigma)
+                    # 1-based rank within the tile (sub-chunk alignment: the
+                    # tile starts `base` lanes into its first slab).
+                    rank1 = j * CHUNK + g * 8 + srow - base + 1  # (8, 1)
+                    keep = (
+                        (sigma >= 0.0)
+                        & (opG >= ALPHA_MIN)
+                        & (rank1 >= 1)
+                        & (rank1 <= count)
+                    )
+                    alpha = jnp.where(keep, jnp.minimum(ALPHA_MAX, opG), 0.0)
+                    one_m = 1.0 - alpha  # 1 on dead rows
+                    # Inclusive cumprod along sublanes: 3 rolled multiplies.
+                    cp = one_m
+                    for s in (1, 2, 4):
+                        cp = cp * jnp.where(
+                            srow >= s, pltpu.roll(cp, shift=s, axis=0), 1.0
+                        )
+                    T_incl = T_b * cp  # (8, P): T after instance i
+                    T_before = T_incl / one_m
+                    not_term = T_incl >= TRANSMITTANCE_EPS
+                    include = keep & not_term & (done_b < 0.5)
+                    w = jnp.where(include, alpha * T_before, 0.0)
+                    feat = blk[:, ROW_FEAT : ROW_FEAT + n_feat]  # (8, C)
+                    color_b = color_b + jax.lax.dot_general(
+                        feat, w, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (C, P)
+                    c_g = jnp.max(jnp.where(include, rank1, 0), axis=0, keepdims=True)
+                    contrib_b = jnp.maximum(contrib_b, c_g)
+                    term = (keep & ~not_term).astype(jnp.float32)
+                    done_b = jnp.maximum(
+                        done_b, jnp.max(term, axis=0, keepdims=True)
+                    )
+                    T_b = T_b * jnp.prod(
+                        jnp.where(include, one_m, 1.0), axis=0, keepdims=True
+                    )
+                    return color_b, T_b, done_b, contrib_b
+
+                # Skip the group entirely once every pixel terminated.
+                return jax.lax.cond(
+                    jnp.min(done_b) < 0.5, live, lambda acc: acc,
+                    (color_b, T_b, done_b, contrib_b),
+                )
+
+            cb, Tb, db, nb = jax.lax.fori_loop(
+                g0, g1, group, (color[b], T[b], done[b], contrib[b])
+            )
+            # Out of chunks -> done (keeps the while-level early exit live).
+            db = jnp.maximum(db, (j + 1 >= ncs[b]).astype(jnp.float32))
+            new_color.append(cb)
+            new_T.append(Tb)
+            new_done.append(db)
+            new_contrib.append(nb)
+        return (
+            j + 1,
+            jnp.stack(new_color),
+            jnp.stack(new_T),
+            jnp.stack(new_done),
+            jnp.stack(new_contrib),
+        )
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((tb, n_feat, P), jnp.float32),
+        jnp.ones((tb, 1, P), jnp.float32),  # linear T
+        jnp.zeros((tb, 1, P), jnp.float32),
+        jnp.zeros((tb, 1, P), jnp.int32),
+    )
+    j_end, color, T, done, contrib = jax.lax.while_loop(cond, body, init)
+    for b in range(tb):
+        get_dma(j_end, j_end % jnp.int32(2), b).wait()
+
+    for b in range(tb):
+        out_ref[b, 0:n_feat, :] = color[b]
+        out_ref[b, n_feat : n_feat + 1, :] = T[b]
+        out_ref[b, n_feat + 1 : n_feat + 2, :] = contrib[b].astype(jnp.float32)
+        out_ref[b, n_feat + 2 :, :] = jnp.zeros((OUT_ROWS - n_feat - 2, P), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -1008,33 +1212,36 @@ def _blend_bwd_impl(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _blend(
     inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk,
-    tiles_per_step, sigma_mm,
+    tiles_per_step, sigma_mm, algo,
 ):
     return _blend_fwd_impl(
         inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat,
         tile_ids=tile_ids, tiles_per_step=tiles_per_step, sigma_mm=sigma_mm,
-        sub_align=chunk < CHUNK,
+        sub_align=chunk < CHUNK, algo=algo,
     )
 
 
 def _vjp_fwd(
     inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk,
-    tiles_per_step, sigma_mm,
+    tiles_per_step, sigma_mm, algo,
 ):
     color, T_final, n_contrib = _blend_fwd_impl(
         inst, tile_start, tile_count, grid_wh=grid_wh, n_feat=n_feat,
         tile_ids=tile_ids, tiles_per_step=tiles_per_step, sigma_mm=sigma_mm,
-        sub_align=chunk < CHUNK,
+        sub_align=chunk < CHUNK, algo=algo,
     )
     return (color, T_final, n_contrib), (
         inst, tile_start, tile_count, tile_ids, T_final, n_contrib
     )
 
 
-def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, sigma_mm, res, g):
+def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, sigma_mm, algo, res, g):
+    # `algo` only selects the forward spelling; the residuals (table, layout,
+    # T_final, n_contrib) are identical, and the backward is always the
+    # chunk-major replay (the pm layout has no disjoint-slab write scheme).
     if chunk != CHUNK:
         raise NotImplementedError(
             "The Pallas backward blend requires CHUNK-aligned tables: its "
@@ -1087,17 +1294,18 @@ def _vjp_bwd(grid_wh, n_feat, chunk, tiles_per_step, sigma_mm, res, g):
 _blend.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-_blend_jit = jax.jit(_blend, static_argnums=(4, 5, 6, 7, 8))
+_blend_jit = jax.jit(_blend, static_argnums=(4, 5, 6, 7, 8, 9))
 
 # Forward tiles-per-grid-step batching: amortizes the per-grid-step fixed
 # cost (micro5: ~0.7 us/tile). Default 1 until validated on real hardware;
 # override per-call or via GSPLAT_BLEND_TB.
 DEFAULT_TILES_PER_STEP = 1
+DEFAULT_TILES_PER_STEP_PM = 8  # pm visits are ~3x lighter; amortize harder
 
 
 def blend_pallas(
     inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK,
-    tile_ids=None, tiles_per_step=None, sigma_mm=None,
+    tile_ids=None, tiles_per_step=None, sigma_mm=None, algo=None,
 ):
     """Composite all tiles; inst is (I_pad, F_PAD). Same contract as blend_scan:
     returns (color (T,P,C), T_final (T,P), n_contrib (T,P) int32).
@@ -1114,9 +1322,21 @@ def blend_pallas(
     # instances); the kernels DMA the enclosing CHUNK-aligned slabs and mask
     # lanes. The backward refuses (see _vjp_bwd).
     assert CHUNK % chunk == 0, "chunk must divide the CHUNK=128 slab width"
+    if algo is None:
+        # pm (pixel-major, sparse-tile) for sub-chunk render tables — those
+        # exist exactly because tiles are instance-sparse; chunk-major for
+        # trainable tables (it is what the backward replays).
+        algo = os.environ.get(
+            "GSPLAT_BLEND_ALGO", "pm" if chunk < CHUNK else "cm"
+        )
+    assert algo in ("cm", "pm"), f"unknown blend algo {algo!r}"
     if tiles_per_step is None:
         tiles_per_step = int(
-            os.environ.get("GSPLAT_BLEND_TB", DEFAULT_TILES_PER_STEP)
+            os.environ.get(
+                "GSPLAT_BLEND_TB",
+                DEFAULT_TILES_PER_STEP_PM if algo == "pm"
+                else DEFAULT_TILES_PER_STEP,
+            )
         )
     if sigma_mm is None:
         sigma_mm = os.environ.get("GSPLAT_BLEND_SIGMA_MM", "0") == "1"
@@ -1127,5 +1347,5 @@ def blend_pallas(
         tile_ids = jnp.arange(tile_start.shape[0], dtype=jnp.int32)
     return _blend_jit(
         inst, tile_start, tile_count, tile_ids, grid_wh, n_feat, chunk,
-        tiles_per_step, bool(sigma_mm),
+        tiles_per_step, bool(sigma_mm), algo,
     )

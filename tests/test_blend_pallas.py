@@ -281,3 +281,77 @@ def test_pallas_sub_align_backward_refuses(rng):
 
     with pytest.raises(NotImplementedError, match="forward-only"):
         jax.grad(loss)(jnp.asarray(inst))
+
+
+# --- pixel-major forward ("pm") ---------------------------------------------
+
+
+@pytest.mark.parametrize("tb,n_feat", [(1, 3), (4, 4), (3, 7)])
+def test_pm_forward_matches_scan(rng, tb, n_feat):
+    """The pixel-major kernel on CHUNK-aligned multi-chunk tables: values
+    and n_contrib must match the scan spec (multi-slab DMA loop + cross-
+    chunk linear-T carries)."""
+    grid = (3, 2)
+    inst, starts, counts = make_instances(rng, grid, 3 * CHUNK, n_feat, CHUNK)
+    args = (jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts))
+    c_p, T_p, n_p = blend_pallas(
+        *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK, tiles_per_step=tb,
+        algo="pm",
+    )
+    c_s, T_s, n_s = blend_scan(*args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_s), rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+def test_pm_forward_saturated_early_exit(rng):
+    """Saturation: the 0.99 cap, T<1e-4 termination, per-group skip-on-done
+    and the while-level early exit must leave values equal to the spec."""
+    grid = (2, 1)
+    inst, starts, counts = make_instances(rng, grid, 400, 3, CHUNK, opacity_scale=3.0)
+    args = (jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts))
+    c_p, T_p, n_p = blend_pallas(
+        *args, grid_wh=grid, n_feat=3, chunk=CHUNK, tiles_per_step=2, algo="pm"
+    )
+    c_s, T_s, n_s = blend_scan(*args, grid_wh=grid, n_feat=3, chunk=CHUNK)
+    assert np.asarray(T_s).min() < 1e-3, "saturation not reached; weak test"
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_s), rtol=1e-3, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_s))
+
+
+def test_pm_empty_tiles(rng):
+    grid = (2, 2)
+    inst, starts, counts = make_instances(rng, grid, 130, 3, CHUNK)
+    counts = counts.copy()
+    counts[1] = 0
+    c_p, T_p, n_p = blend_pallas(
+        jnp.asarray(inst), jnp.asarray(starts), jnp.asarray(counts),
+        grid_wh=grid, n_feat=3, chunk=CHUNK, tiles_per_step=4, algo="pm",
+    )
+    np.testing.assert_allclose(np.asarray(c_p)[1], 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(T_p)[1], 1.0, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(n_p)[1], 0)
+
+
+def test_pm_forward_under_grad_uses_cm_backward(rng):
+    """algo='pm' with a CHUNK-aligned table is differentiable: the vjp's
+    residuals are layout-identical, the backward replay stays chunk-major.
+    Gradients must match the all-chunk-major spelling."""
+    grid = (2, 1)
+    n_feat = 3
+    inst, starts, counts = make_instances(rng, grid, 300, n_feat, CHUNK)
+    args = (jnp.asarray(starts), jnp.asarray(counts))
+
+    def loss(x, algo):
+        c, T, _ = blend_pallas(
+            x, *args, grid_wh=grid, n_feat=n_feat, chunk=CHUNK, algo=algo
+        )
+        return jnp.sum(c * c) + jnp.sum(T)
+
+    g_pm = np.asarray(jax.grad(lambda x: loss(x, "pm"))(jnp.asarray(inst)))
+    g_cm = np.asarray(jax.grad(lambda x: loss(x, "cm"))(jnp.asarray(inst)))
+    # pm carries T linearly, cm in log space: forward values differ by
+    # reduction-order noise that the shared backward replay then sees.
+    scale = np.maximum(np.abs(g_cm), 1e-3)
+    np.testing.assert_allclose(g_pm / scale, g_cm / scale, rtol=0, atol=5e-3)
