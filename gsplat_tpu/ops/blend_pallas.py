@@ -1302,6 +1302,45 @@ _blend_jit = jax.jit(_blend, static_argnums=(4, 5, 6, 7, 8, 9))
 DEFAULT_TILES_PER_STEP = 1
 DEFAULT_TILES_PER_STEP_PM = 8  # pm visits are ~3x lighter; amortize harder
 
+_pm_lowers_cache = None
+
+
+def _pm_lowers() -> bool:
+    """One-time eager probe: does Mosaic lower the pm kernel's ingredients
+    (pltpu.roll over sublanes, reduce-multiply, dynamic-trip fori, the
+    in-VMEM slab transpose, (8,C)x(8,P) dots)? Interpret mode always passes.
+    Runs EAGERLY (ensure_compile_time_eval) so a first call that arrives
+    under a trace cannot cache a wrong answer — see gather_pallas._lowers.
+    On failure the caller falls back to the chunk-major forward, which
+    handles every alignment."""
+    global _pm_lowers_cache
+    if _pm_lowers_cache is None:
+        if _interpret():
+            _pm_lowers_cache = True
+            return True
+        try:
+            with jax.ensure_compile_time_eval():
+                inst = jnp.zeros((_REPACK_BLOCK, F_PAD), jnp.float32)
+                starts = jnp.array([0, 32], jnp.int32)  # sub-aligned tile 1
+                counts = jnp.full((2,), 24, jnp.int32)
+                out = _blend_fwd_impl(
+                    inst, starts, counts, grid_wh=(2, 1), n_feat=3,
+                    tiles_per_step=2, algo="pm",
+                )
+                jax.block_until_ready(out[0])
+            _pm_lowers_cache = True
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                "pixel-major blend disabled for this process: failed to "
+                f"lower/run ({type(e).__name__}: {e}); falling back to the "
+                "chunk-major forward",
+                stacklevel=2,
+            )
+            _pm_lowers_cache = False
+    return _pm_lowers_cache
+
 
 def blend_pallas(
     inst, tile_start, tile_count, *, grid_wh, n_feat, chunk=CHUNK,
@@ -1330,6 +1369,8 @@ def blend_pallas(
             "GSPLAT_BLEND_ALGO", "pm" if chunk < CHUNK else "cm"
         )
     assert algo in ("cm", "pm"), f"unknown blend algo {algo!r}"
+    if algo == "pm" and not _pm_lowers():
+        algo = "cm"  # warned once in the probe; cm handles any alignment
     if tiles_per_step is None:
         tiles_per_step = int(
             os.environ.get(
