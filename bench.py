@@ -81,17 +81,22 @@ def _autotune(model, cams, budget, mode):
     # the size-based default could pick a sort+reduce spelling at this
     # budget, whose ~20 ms would drown the blend variants' differences.
     base = {"GSPLAT_BLEND_TB": "1", "GSPLAT_BLEND_SIGMA_MM": "0",
+            "GSPLAT_BLEND_ALGO": "cm",
             "GSPLAT_GATHER_PALLAS": "0", "GSPLAT_GATHER_BWD": "scatter"}
     # Blend variants interact (both change the kernel); tune jointly.
+    # algo=pm is the pixel-major forward (differentiable: the vjp replays
+    # the chunk-major backward either way); sigma_mm is cm-only.
     best, best_ms = dict(base), None
-    for tb in ("1", "4", "8"):
-        for mm in ("0", "1"):
-            combo = dict(base, GSPLAT_BLEND_TB=tb, GSPLAT_BLEND_SIGMA_MM=mm)
-            ms = time_combo(combo)
-            print(f"[autotune] tb={tb} mm={mm}: "
-                  f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
-            if ms is not None and (best_ms is None or ms < best_ms * 0.98):
-                best, best_ms = combo, ms
+    for algo in ("cm", "pm"):
+        for tb in ("1", "4", "8"):
+            for mm in ("0", "1") if algo == "cm" else ("0",):
+                combo = dict(base, GSPLAT_BLEND_TB=tb, GSPLAT_BLEND_SIGMA_MM=mm,
+                             GSPLAT_BLEND_ALGO=algo)
+                ms = time_combo(combo)
+                print(f"[autotune] algo={algo} tb={tb} mm={mm}: "
+                      f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
+                if ms is not None and (best_ms is None or ms < best_ms * 0.98):
+                    best, best_ms = combo, ms
     # Gather is a separate stage; toggle on top of the best blend combo.
     g_on = dict(best, GSPLAT_GATHER_PALLAS="1")
     ms = time_combo(g_on)
@@ -208,6 +213,10 @@ def main():
                 print(f"[render bench] overflow; budget -> {budget}", file=sys.stderr)
             return fwd, img, int(aux["p_instances"])
 
+        # The train autotune leaves GSPLAT_BLEND_ALGO pinned for the train
+        # step; the render table is a different operating point (sparse
+        # tiles), so tune the forward algo here independently.
+        algo_env = os.environ.pop("GSPLAT_BLEND_ALGO", None)
         fwd, img, demand = fit(budget)
         # Shrink to the observed demand (+12.5% headroom): the render worker
         # steady-state, matching the Trainer's budget auto-fit.
@@ -215,13 +224,38 @@ def main():
         if fitted < budget:
             print(f"[render bench] demand {demand}; budget {budget} -> {fitted}",
                   file=sys.stderr)
-            fwd, img, _ = fit(fitted)
+            budget = fitted
+        best = None
+        for algo in ("pm", "cm"):
+            os.environ["GSPLAT_BLEND_ALGO"] = algo
+            try:
+                fwd, img, _ = fit(budget)
+                _ = np.asarray(img.ravel()[0])
+                t0 = time.perf_counter()
+                for i in range(10):
+                    img, _aux = fwd(args, rcams[i % 8])
+                _ = np.asarray(img.ravel()[0])
+                ms = (time.perf_counter() - t0) / 10 * 1e3
+            except Exception as e:
+                print(f"[render bench] algo={algo} FAILED: {type(e).__name__}",
+                      file=sys.stderr)
+                continue
+            print(f"[render bench] algo={algo}: {ms:.2f} ms/frame", file=sys.stderr)
+            if best is None or ms < best[1]:
+                best = (algo, ms, fwd, img)
+        algo, _ms, fwd, img = best
+        os.environ["GSPLAT_BLEND_ALGO"] = algo
         _ = np.asarray(img.ravel()[0])
         t0 = time.perf_counter()
         for i in range(steps):
             img, _aux = fwd(args, rcams[i % 8])
         _ = np.asarray(img.ravel()[0])
-        return steps / (time.perf_counter() - t0)
+        fps = steps / (time.perf_counter() - t0)
+        if algo_env is None:
+            os.environ.pop("GSPLAT_BLEND_ALGO", None)
+        else:
+            os.environ["GSPLAT_BLEND_ALGO"] = algo_env
+        return fps
 
     if MODE == "render":
         fps = render_bench(WIDTH, HEIGHT, gt_budget, STEPS)
