@@ -280,10 +280,28 @@ def render_views(
     # the host-side PNG encode overlaps the next frame's device work.
     @partial(jax.jit, static_argnames=("cfg",))
     def fwd(args, cam, cfg):
-        return _render(args[0], args[1], args[2], args[3], args[4], args[5],
-                       camera=cam, config=cfg, sh_degree=model.max_sh_degree)[0]
+        img, aux = _render(args[0], args[1], args[2], args[3], args[4],
+                           args[5], camera=cam, config=cfg,
+                           sh_degree=model.max_sh_degree)
+        return img, aux["overflow"], aux["p_instances"]
 
     args = model.render_args()
+
+    def render_grown(cam, cfg):
+        """A truncated (overflow) render fills only the lowest tiles — grow
+        the budget to observed demand and re-render (sticky for later views)."""
+        import dataclasses
+        nonlocal max_instances
+
+        for _ in range(4):
+            img, overflow, demand = fwd(args, cam, cfg)
+            if not bool(overflow):
+                return img
+            max_instances = max(2 * cfg.max_instances, int(demand) * 9 // 8)
+            print(f"  [render] instance budget overflow; growing to "
+                  f"{max_instances}", flush=True)
+            cfg = dataclasses.replace(cfg, max_instances=max_instances)
+        return img
 
     def flush(img, out):
         arr = np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8)
@@ -300,7 +318,7 @@ def render_views(
             max_instances=max_instances, impl=impl,
             chunk=32,  # forward-only table (see viewer.py / micro15)
         )
-        return fwd(args, cam, cfg), os.path.join(
+        return render_grown(cam, cfg), os.path.join(
             out_dir, os.path.splitext(dataset.names[vid])[0] + ".png")
 
     pipelined(ids, dispatch, lambda p: flush(*p))

@@ -206,11 +206,31 @@ def capture_path(
     # One jitted closure (eager per-frame rendering dispatches every op
     # through the remote-TPU tunnel) + one frame in flight: dispatch frame
     # k+1, then fetch frame k — the host-side encode overlaps device work.
-    fwd = jax.jit(
-        lambda args, cam: render(args[0], args[1], args[2], args[3], args[4],
-                                 args[5], camera=cam, config=cfg, sh_degree=deg)[0]
-    )
+    import dataclasses
+
+    def make_fwd(cfg):
+        return jax.jit(
+            lambda args, cam: render(args[0], args[1], args[2], args[3],
+                                     args[4], args[5], camera=cam, config=cfg,
+                                     sh_degree=deg)
+        )
+
+    fwd = make_fwd(cfg)
     args = model.render_args()
+
+    # A truncated (instance-budget overflow) frame renders only the lowest
+    # tiles: probe the first frame and grow to demand before committing to
+    # the whole path (the budget only depends on scene x resolution).
+    first_cam = next(iter(path.cameras(base_camera, 1)))
+    for _ in range(4):
+        _img, aux = fwd(args, first_cam)
+        if not bool(aux["overflow"]):
+            break
+        grown = max(2 * cfg.max_instances, int(aux["p_instances"]) * 9 // 8)
+        print(f"[capture] instance budget overflow; growing to {grown}",
+              flush=True)
+        cfg = dataclasses.replace(cfg, max_instances=grown)
+        fwd = make_fwd(cfg)
 
     def to_u8(img):
         return np.clip(np.asarray(img[..., :3]) * 255, 0, 255).astype(np.uint8)
@@ -220,7 +240,7 @@ def capture_path(
     frames = []
     pipelined(path.cameras(base_camera, n_frames),
               lambda cam: fwd(args, cam),
-              lambda img: frames.append(to_u8(img)))
+              lambda out: frames.append(to_u8(out[0])))
 
     if out.endswith(".mp4"):
         try:
