@@ -181,9 +181,17 @@ def benchmark(
                 done = int(trainer.state.step)
                 print(f"  resumed {strat} from {saves[-1]} @ step {done}", flush=True)
         if trainer is None:
+            # Start protocol runs at their measured steady-state budget
+            # class (MCMC converges to far fatter splats than ADC: ~4.2M
+            # chunk-aligned instances on atrium_hd vs ~1.1M) — the budget
+            # auto-fit shrinks on sustained under-utilization, so a
+            # generous start only costs early milliseconds, while a small
+            # start pays several regrowth recompiles mid-run.
+            mi = ((1 << 22) if strat == "mcmc" else (1 << 21)) \
+                if jax.default_backend() == "tpu" else (1 << 16)
             trainer = _build_trainer(
                 dataset, reference_opt_params(), strat, seed=seed,
-                strategy_kw=strategy_kw or None,
+                strategy_kw=strategy_kw or None, max_instances=mi,
             )
         if autosave_every:
             trainer.autosave_every = autosave_every

@@ -868,7 +868,13 @@ class Trainer:
         in ONE recompile — but at least 1.5x, so a stale demand reading
         still converges. Replaces the reference's grow-only binning buffers
         (rasterizer.jl:340-343)."""
-        target = max(self.max_instances * 3 // 2, self._fit_budget(demand))
+        # Snap BOTH arms to the geometric grid: the old bare `*3//2` arm
+        # produced budgets that depended on the exact growth history, so a
+        # crash-resumed run compiled fresh programs at near-miss budgets
+        # instead of hitting the persistent compile cache. (demand is exact
+        # even under truncation — tiles.py's histogram sees full demand —
+        # so grid-snapped fits are reproducible across resumes.)
+        target = self._fit_budget(max(demand, self.max_instances * 4 // 3))
         self.max_instances = target
         self._configs.clear()
         self._low_util_drains = 0
