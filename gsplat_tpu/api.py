@@ -175,7 +175,12 @@ def benchmark(
                     saves[-1], dataset,
                     opt_params=reference_opt_params(),
                     strategy=create_strategy(strat, seed=seed, **strategy_kw),
-                    max_instances=1 << 21 if jax.default_backend() == "tpu" else 1 << 16,
+                    # Same per-strategy budget class as the fresh build
+                    # below: a resume that restarts at a smaller budget
+                    # replays the whole regrowth-recompile ladder.
+                    max_instances=(
+                        (1 << 22) if strat == "mcmc" else (1 << 21)
+                    ) if jax.default_backend() == "tpu" else (1 << 16),
                     seed=seed,
                 )
                 done = int(trainer.state.step)
