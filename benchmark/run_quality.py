@@ -29,6 +29,11 @@ if "--max-screen-size" in args:
     i = args.index("--max-screen-size")
     mss = int(args[i + 1])
     del args[i:i + 2]
+mi = None
+if "--max-instances" in args:
+    i = args.index("--max-instances")
+    mi = int(args[i + 1])
+    del args[i:i + 2]
 n_steps = int(args[0]) if args else 30_000
 strategies = tuple(args[1:]) or ("default", "mcmc")
 
@@ -43,6 +48,7 @@ rows = benchmark(
     eval_steps=(7_000, 30_000),
     autosave_every=2_000,
     max_screen_size=mss,
+    max_instances=mi,
 )
 print(json.dumps(rows), flush=True)
 # Rows land in a sidecar (RESULTS.md is curated by hand around them).

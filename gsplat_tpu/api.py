@@ -144,6 +144,7 @@ def benchmark(
     autosave_every: int = 0,
     work_dir: str | None = None,
     max_screen_size: int | None = None,
+    max_instances: int | None = None,
 ):
     """The evaluation protocol (reference benchmark,
     GaussianSplatting.jl:260-359): fixed seed per config, max_extent=inf,
@@ -178,9 +179,9 @@ def benchmark(
                     # Same per-strategy budget class as the fresh build
                     # below: a resume that restarts at a smaller budget
                     # replays the whole regrowth-recompile ladder.
-                    max_instances=(
+                    max_instances=max_instances or ((
                         (1 << 22) if strat == "mcmc" else (1 << 21)
-                    ) if jax.default_backend() == "tpu" else (1 << 16),
+                    ) if jax.default_backend() == "tpu" else (1 << 16)),
                     seed=seed,
                 )
                 done = int(trainer.state.step)
@@ -192,8 +193,9 @@ def benchmark(
             # auto-fit shrinks on sustained under-utilization, so a
             # generous start only costs early milliseconds, while a small
             # start pays several regrowth recompiles mid-run.
-            mi = ((1 << 22) if strat == "mcmc" else (1 << 21)) \
-                if jax.default_backend() == "tpu" else (1 << 16)
+            mi = max_instances or (
+                ((1 << 22) if strat == "mcmc" else (1 << 21))
+                if jax.default_backend() == "tpu" else (1 << 16))
             trainer = _build_trainer(
                 dataset, reference_opt_params(), strat, seed=seed,
                 strategy_kw=strategy_kw or None, max_instances=mi,
