@@ -213,10 +213,13 @@ def main():
                 print(f"[render bench] overflow; budget -> {budget}", file=sys.stderr)
             return fwd, img, int(aux["p_instances"])
 
-        # The train autotune leaves GSPLAT_BLEND_ALGO pinned for the train
-        # step; the render table is a different operating point (sparse
-        # tiles), so tune the forward algo here independently.
+        # The train autotune leaves GSPLAT_BLEND_ALGO/TB pinned for the
+        # train step; the render table is a different operating point
+        # (sparse tiles), so tune the forward algo here independently,
+        # with each algo's own TB default (a train-tuned TB measurably
+        # regresses the 1080p forward).
         algo_env = os.environ.pop("GSPLAT_BLEND_ALGO", None)
+        tb_env = os.environ.pop("GSPLAT_BLEND_TB", None)
         fwd, img, demand = fit(budget)
         # Shrink to the observed demand (+12.5% headroom): the render worker
         # steady-state, matching the Trainer's budget auto-fit.
@@ -255,6 +258,8 @@ def main():
             os.environ.pop("GSPLAT_BLEND_ALGO", None)
         else:
             os.environ["GSPLAT_BLEND_ALGO"] = algo_env
+        if tb_env is not None:
+            os.environ["GSPLAT_BLEND_TB"] = tb_env
         return fps
 
     if MODE == "render":
