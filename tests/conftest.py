@@ -39,23 +39,16 @@ if not os.environ.get("GST_TEST_TPU"):
     # crashed-and-restarted xdist worker (pytest.ini --max-worker-restart)
     # then replays its file from cache instead of re-crashing, and repeat
     # suite runs barely compile at all.
-    # Keyed by the host's CPU flags: XLA:CPU AOT entries embed the compile
-    # machine's feature set, and loading entries cached on a different
-    # microarch warns "could lead to execution errors such as SIGILL"
-    # (observed when rounds hop between heterogeneous hosts).
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            _fp_src = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        import platform
-
-        _fp_src = platform.machine() + (platform.processor() or "")
+    # Deliberately SHARED across hosts: entries cached on a different
+    # microarch load with a feature-mismatch warning ("could lead to
+    # SIGILL"), but in practice they run fine here, while a per-host key
+    # empties the cache on every host hop and the resulting cold run
+    # re-exposes the XLA:CPU compile-crash storm this cache exists to
+    # prevent (measured: warm shared cache = 163 passed / 18 min, zero
+    # node crashes; cold keyed cache = repeated gw0 segfaults).
     _cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".pytest_jax_cache",
-        hashlib.sha1(_fp_src.encode()).hexdigest()[:12],
     )
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
