@@ -34,6 +34,11 @@ if "--max-instances" in args:
     i = args.index("--max-instances")
     mi = int(args[i + 1])
     del args[i:i + 2]
+cap = None
+if "--mcmc-cap" in args:
+    i = args.index("--mcmc-cap")
+    cap = int(args[i + 1])
+    del args[i:i + 2]
 n_steps = int(args[0]) if args else 30_000
 strategies = tuple(args[1:]) or ("default", "mcmc")
 
@@ -49,6 +54,7 @@ rows = benchmark(
     autosave_every=2_000,
     max_screen_size=mss,
     max_instances=mi,
+    mcmc_cap=cap,
 )
 print(json.dumps(rows), flush=True)
 # Rows land in a sidecar (RESULTS.md is curated by hand around them).

@@ -145,6 +145,7 @@ def benchmark(
     work_dir: str | None = None,
     max_screen_size: int | None = None,
     max_instances: int | None = None,
+    mcmc_cap: int | None = None,
 ):
     """The evaluation protocol (reference benchmark,
     GaussianSplatting.jl:260-359): fixed seed per config, max_extent=inf,
@@ -152,7 +153,15 @@ def benchmark(
 
     `autosave_every` > 0 makes long runs crash-resumable: step-suffixed
     checkpoints land in `work_dir` and a rerun resumes each config from its
-    latest autosave (schedule state restored via Trainer.from_checkpoint)."""
+    latest autosave (schedule state restored via Trainer.from_checkpoint).
+
+    `mcmc_cap` overrides MCMCStrategy.max_cap (reference default 2M,
+    mcmc.jl:63). The cap is a ceiling, not a target — in practice it is
+    sized to the scene (the reference's own benchmark leaves its MCMC
+    configs disabled, GaussianSplatting.jl:274-275). At this environment's
+    single tunneled v5e, the 2M-gaussian tail of a 30k protocol run costs
+    ~10 h alone, so documented capped runs are how MCMC protocol evidence
+    gets landed here (see RESULTS.md)."""
     import glob
 
     scale = scale or standard_scale(dataset_path)
@@ -162,11 +171,11 @@ def benchmark(
     work_dir = work_dir or dataset_path
     results = []
     for strat in strategies:
-        strategy_kw = (
-            {"max_screen_size": max_screen_size}
-            if max_screen_size is not None and strat == "default"
-            else {}
-        )
+        strategy_kw = {}
+        if max_screen_size is not None and strat == "default":
+            strategy_kw["max_screen_size"] = max_screen_size
+        if mcmc_cap is not None and strat == "mcmc":
+            strategy_kw["max_cap"] = mcmc_cap
         trainer = None
         done = 0
         if autosave_every:
@@ -208,7 +217,9 @@ def benchmark(
             if target > n_steps or target <= done:
                 continue
             t0 = time.perf_counter()
-            trainer.train(target - done)
+            # log_every doubles as the stall-watchdog heartbeat for long
+            # tunneled runs (benchmark/watchdog_run.sh keys on log mtime).
+            trainer.train(target - done, log_every=200)
             t_train += time.perf_counter() - t0
             done = target
             v = trainer.validate(quantize=True)
