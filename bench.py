@@ -36,7 +36,7 @@ def _autotune(model, cams, budget, mode):
     """Pick the fastest kernel-variant flags on THIS hardware.
 
     The blend/gather variants (GSPLAT_BLEND_TB, GSPLAT_BLEND_SIGMA_MM,
-    GSPLAT_GATHER_PALLAS) are read at trace time; each candidate is traced
+    GSPLAT_GATHER_BWD) are read at trace time; each candidate is traced
     as a fresh closure with the env set, timed over a short fetch-terminated
     window, and the winner's flags are left in os.environ for the real run.
     Variants that fail to lower (Mosaic surfaces are hardware-gated) are
@@ -81,8 +81,7 @@ def _autotune(model, cams, budget, mode):
     # the size-based default could pick a sort+reduce spelling at this
     # budget, whose ~20 ms would drown the blend variants' differences.
     base = {"GSPLAT_BLEND_TB": "1", "GSPLAT_BLEND_SIGMA_MM": "0",
-            "GSPLAT_BLEND_ALGO": "cm",
-            "GSPLAT_GATHER_PALLAS": "0", "GSPLAT_GATHER_BWD": "scatter"}
+            "GSPLAT_BLEND_ALGO": "cm", "GSPLAT_GATHER_BWD": "scatter"}
     # Blend variants interact (both change the kernel); tune jointly.
     # algo=pm is the pixel-major forward (differentiable: the vjp replays
     # the chunk-major backward either way); sigma_mm is cm-only.
@@ -97,13 +96,6 @@ def _autotune(model, cams, budget, mode):
                       f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
                 if ms is not None and (best_ms is None or ms < best_ms * 0.98):
                     best, best_ms = combo, ms
-    # Gather is a separate stage; toggle on top of the best blend combo.
-    g_on = dict(best, GSPLAT_GATHER_PALLAS="1")
-    ms = time_combo(g_on)
-    print(f"[autotune] +gather_pallas: "
-          f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
-    if ms is not None and best_ms is not None and ms < best_ms * 0.98:
-        best, best_ms = g_on, ms
     # Backward reduction of the instance gather (micro14: size-dependent
     # crossover between the fused scatter and the sort+reduce spellings).
     if mode != "render":
@@ -220,47 +212,52 @@ def main():
         # regresses the 1080p forward).
         algo_env = os.environ.pop("GSPLAT_BLEND_ALGO", None)
         tb_env = os.environ.pop("GSPLAT_BLEND_TB", None)
-        fwd, img, demand = fit(budget)
-        # Shrink to the observed demand (+12.5% headroom): the render worker
-        # steady-state, matching the Trainer's budget auto-fit.
-        fitted = max(-(-(demand * 9 // 8) // 4096) * 4096, 1 << 15)
-        if fitted < budget:
-            print(f"[render bench] demand {demand}; budget {budget} -> {fitted}",
-                  file=sys.stderr)
-            budget = fitted
-        best = None
-        for algo in ("pm", "cm"):
-            os.environ["GSPLAT_BLEND_ALGO"] = algo
-            try:
-                fwd, img, _ = fit(budget)
-                _ = np.asarray(img.ravel()[0])
-                t0 = time.perf_counter()
-                for i in range(10):
-                    img, _aux = fwd(args, rcams[i % 8])
-                _ = np.asarray(img.ravel()[0])
-                ms = (time.perf_counter() - t0) / 10 * 1e3
-            except Exception as e:
-                print(f"[render bench] algo={algo} FAILED: {type(e).__name__}",
+        try:
+            fwd, img, demand = fit(budget)
+            # Shrink to the observed demand (+12.5% headroom): the render
+            # worker steady-state, matching the Trainer's budget auto-fit.
+            fitted = max(-(-(demand * 9 // 8) // 4096) * 4096, 1 << 15)
+            if fitted < budget:
+                print(f"[render bench] demand {demand}; budget {budget} -> {fitted}",
                       file=sys.stderr)
-                continue
-            print(f"[render bench] algo={algo}: {ms:.2f} ms/frame", file=sys.stderr)
-            if best is None or ms < best[1]:
-                best = (algo, ms, fwd, img)
-        algo, _ms, fwd, img = best
-        os.environ["GSPLAT_BLEND_ALGO"] = algo
-        _ = np.asarray(img.ravel()[0])
-        t0 = time.perf_counter()
-        for i in range(steps):
-            img, _aux = fwd(args, rcams[i % 8])
-        _ = np.asarray(img.ravel()[0])
-        fps = steps / (time.perf_counter() - t0)
-        if algo_env is None:
-            os.environ.pop("GSPLAT_BLEND_ALGO", None)
-        else:
-            os.environ["GSPLAT_BLEND_ALGO"] = algo_env
-        if tb_env is not None:
-            os.environ["GSPLAT_BLEND_TB"] = tb_env
-        return fps
+                budget = fitted
+            best = None
+            for algo in ("pm", "cm"):
+                os.environ["GSPLAT_BLEND_ALGO"] = algo
+                try:
+                    fwd, img, _ = fit(budget)
+                    _ = np.asarray(img.ravel()[0])
+                    t0 = time.perf_counter()
+                    for i in range(10):
+                        img, _aux = fwd(args, rcams[i % 8])
+                    _ = np.asarray(img.ravel()[0])
+                    ms = (time.perf_counter() - t0) / 10 * 1e3
+                except Exception as e:
+                    print(f"[render bench] algo={algo} FAILED: {type(e).__name__}: {e}",
+                          file=sys.stderr)
+                    continue
+                print(f"[render bench] algo={algo}: {ms:.2f} ms/frame", file=sys.stderr)
+                if best is None or ms < best[1]:
+                    best = (algo, ms, fwd, img)
+            if best is None:
+                raise RuntimeError(
+                    "render bench: every blend algo failed to lower/run "
+                    "(see [render bench] algo=... FAILED lines above)")
+            algo, _ms, fwd, img = best
+            os.environ["GSPLAT_BLEND_ALGO"] = algo
+            _ = np.asarray(img.ravel()[0])
+            t0 = time.perf_counter()
+            for i in range(steps):
+                img, _aux = fwd(args, rcams[i % 8])
+            _ = np.asarray(img.ravel()[0])
+            return steps / (time.perf_counter() - t0)
+        finally:
+            if algo_env is None:
+                os.environ.pop("GSPLAT_BLEND_ALGO", None)
+            else:
+                os.environ["GSPLAT_BLEND_ALGO"] = algo_env
+            if tb_env is not None:
+                os.environ["GSPLAT_BLEND_TB"] = tb_env
 
     if MODE == "render":
         fps = render_bench(WIDTH, HEIGHT, gt_budget, STEPS)

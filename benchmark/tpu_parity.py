@@ -161,25 +161,6 @@ def main():
             print(f"  blend tb={tb} mm={int(mm)} max|dcolor|={dc:.3e} "
                   f"relmax|dgrad|={dg:.3e}")
 
-    # --- new Mosaic surface: Pallas row gather (ops/gather_pallas.py) --------
-    from gsplat_tpu.ops.gather_pallas import fits, gather_rows
-
-    i_pad = int(binned["padded_ids"].shape[0])
-    pack = jnp.concatenate(
-        [proj_f["mean_2d"], proj_f["conic"], opa[:, None], proj_f["rgb"],
-         jnp.zeros((n, 16 - 9), jnp.float32)], axis=1)
-    if fits(n, 16, i_pad):
-        try:
-            got = np.asarray(jax.jit(gather_rows)(pack, binned["padded_ids"]))
-            ids_c = jnp.clip(binned["padded_ids"], 0, n - 1)
-            m_ = (binned["padded_ids"] >= 0).astype(jnp.float32)
-            want = np.asarray(jnp.take(pack, ids_c, axis=0) * m_[:, None])
-            print(f"  gather_pallas max|d|={np.abs(got - want).max():.3e}")
-        except Exception as e:
-            print(f"  gather_pallas FAILED: {type(e).__name__}: {str(e)[:200]}")
-    else:
-        print(f"  gather_pallas skipped (fits({n},16,{i_pad})=False)")
-
 
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}")

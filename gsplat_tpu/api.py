@@ -327,6 +327,8 @@ def render_views(
             print(f"  [render] instance budget overflow; growing to "
                   f"{max_instances}", flush=True)
             cfg = dataclasses.replace(cfg, max_instances=max_instances)
+        print("  [render] budget still overflowing after 4 growth attempts; "
+              "image is TRUNCATED", flush=True)
         return img
 
     def flush(img, out):

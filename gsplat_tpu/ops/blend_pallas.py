@@ -1309,24 +1309,30 @@ def _pm_lowers() -> bool:
     """One-time eager probe: does Mosaic lower the pm kernel's ingredients
     (pltpu.roll over sublanes, reduce-multiply, dynamic-trip fori, the
     in-VMEM slab transpose, (8,C)x(8,P) dots)? Interpret mode always passes.
-    Runs EAGERLY (ensure_compile_time_eval) so a first call that arrives
-    under a trace cannot cache a wrong answer — see gather_pallas._lowers.
-    On failure the caller falls back to the chunk-major forward, which
-    handles every alignment."""
+    Runs under ensure_compile_time_eval (so a first call that arrives under
+    a trace cannot cache a wrong answer) with the pallas_call itself wrapped
+    in jax.jit: eager pallas dispatch on some platforms (axon) interprets
+    the kernel body with eval rules and dies on 'program_id' instead of
+    lowering through Mosaic — the r4 bench silently fell back to chunk-major
+    because of exactly that (BENCH_r04 tail). The nested jit forces a real
+    Mosaic compile even from the eval context. On failure the caller falls
+    back to the chunk-major forward, which handles every alignment."""
     global _pm_lowers_cache
     if _pm_lowers_cache is None:
         if _interpret():
             _pm_lowers_cache = True
             return True
         try:
+            import functools
+
             with jax.ensure_compile_time_eval():
                 inst = jnp.zeros((_REPACK_BLOCK, F_PAD), jnp.float32)
                 starts = jnp.array([0, 32], jnp.int32)  # sub-aligned tile 1
                 counts = jnp.full((2,), 24, jnp.int32)
-                out = _blend_fwd_impl(
-                    inst, starts, counts, grid_wh=(2, 1), n_feat=3,
+                out = jax.jit(functools.partial(
+                    _blend_fwd_impl, grid_wh=(2, 1), n_feat=3,
                     tiles_per_step=2, algo="pm",
-                )
+                ))(inst, starts, counts)
                 jax.block_until_ready(out[0])
             _pm_lowers_cache = True
         except Exception as e:

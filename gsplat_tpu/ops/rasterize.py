@@ -149,19 +149,12 @@ def _gather_instance_table(padded_ids, mean_2d, conic, opacities, feats,
     whole-row: opacity 0 kills their forward contribution and the mask
     zeroes their cotangents.
     """
-    import os
-
     N = mean_2d.shape[0]
     pad_cols = F_PAD - 6 - feats.shape[1]
     pack = jnp.concatenate(
         [mean_2d, conic, opacities[:, None], feats, jnp.zeros((N, pad_cols), mean_2d.dtype)],
         axis=1,
     )  # (N, F_PAD)
-    if os.environ.get("GSPLAT_GATHER_PALLAS", "0") == "1":
-        from . import gather_pallas
-
-        if gather_pallas.fits(N, F_PAD, padded_ids.shape[0]):
-            return gather_pallas.gather_rows(pack, padded_ids)
     return _gather_rows_xla(pack, padded_ids, offsets, counts, max_run)
 
 
@@ -191,9 +184,12 @@ def _gather_rows_xla(pack, padded_ids, offsets, counts, max_run):
     (render.jl:242-282) with a reduction that is scatter-free AND
     deterministic (the atomics are not). Mode select: GSPLAT_GATHER_BWD in
     {scatter, segscan, segsum}; default scatter below _SEGSUM_MIN_INSTANCES
-    or off-TPU, segsum above. "segscan" is the pure-XLA log-level spelling
-    (kept as the lowering-independent fallback; it only ties the scatter —
-    its log2(max_run) masked adds re-stream the whole array per level).
+    or off-TPU, segscan above (the measured in-pipeline winner at the
+    1.12M-instance quality scale: it took the step floor 334 -> 296 ms in
+    r4; "segsum" is the streaming Pallas spelling, which wins at BENCH
+    scale and is what bench.py's autotune usually picks there — the
+    un-autotuned default favors the quality operating point because that
+    is where un-autotuned runs live).
     """
     return _gather_rows_fwd_impl(pack, padded_ids)
 

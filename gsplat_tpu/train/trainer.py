@@ -1447,9 +1447,11 @@ class Trainer:
                 # A truncated render silently deflates the metrics — retry
                 # this view with an eval-only grown budget (kept for the
                 # remaining views; one recompile per distinct budget).
+                # Same grid-snapped spelling as _grow_budget: a bare *3//2
+                # arm would produce history-dependent budgets that miss the
+                # persistent compile cache on resume.
                 demand = int(out["p_instances"])
-                target = max(self._fit_budget(demand), cfg.max_instances * 3 // 2)
-                target = -(-target // 1024) * 1024
+                target = self._fit_budget(max(demand, cfg.max_instances * 4 // 3))
                 print(
                     f"[trainer] validate: instance budget overflow (demand "
                     f"{demand} > {cfg.max_instances}); retrying the view at "

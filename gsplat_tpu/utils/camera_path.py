@@ -220,7 +220,10 @@ def capture_path(
 
     # A truncated (instance-budget overflow) frame renders only the lowest
     # tiles: probe the first frame and grow to demand before committing to
-    # the whole path (the budget only depends on scene x resolution).
+    # the whole path. Instance demand varies with camera pose ALONG the
+    # path too, so every frame's aux["overflow"] is checked in the retire
+    # callback and overflowing frames are re-rendered afterwards with a
+    # grown budget (same pattern as api.render_views).
     first_cam = next(iter(path.cameras(base_camera, 1)))
     for _ in range(4):
         _img, aux = fwd(args, first_cam)
@@ -237,10 +240,34 @@ def capture_path(
 
     from .pipeline import pipelined
 
+    cams = list(path.cameras(base_camera, n_frames))
     frames = []
-    pipelined(path.cameras(base_camera, n_frames),
-              lambda cam: fwd(args, cam),
-              lambda out: frames.append(to_u8(out[0])))
+    overflowed = []
+
+    def retire(out):
+        img, aux = out
+        if bool(aux["overflow"]):
+            overflowed.append(len(frames))
+        frames.append(to_u8(img))
+
+    pipelined(cams, lambda cam: fwd(args, cam), retire)
+
+    for idx in overflowed:
+        rcfg, rfwd = cfg, fwd
+        for _ in range(4):
+            img, aux = rfwd(args, cams[idx])
+            if not bool(aux["overflow"]):
+                break
+            grown = max(2 * rcfg.max_instances, int(aux["p_instances"]) * 9 // 8)
+            print(f"[capture] frame {idx} overflowed; re-rendering at budget "
+                  f"{grown}", flush=True)
+            rcfg = dataclasses.replace(rcfg, max_instances=grown)
+            rfwd = make_fwd(rcfg)
+        else:
+            print(f"[capture] frame {idx} still overflowing after regrow; "
+                  "frame is truncated", flush=True)
+        frames[idx] = to_u8(img)
+        cfg, fwd = rcfg, rfwd  # later overflow frames start from here
 
     if out.endswith(".mp4"):
         try:

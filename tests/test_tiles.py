@@ -248,66 +248,6 @@ def test_cummax_pallas_matches_lax(rng):
             np.testing.assert_array_equal(out, np.maximum.accumulate(vals))
 
 
-def test_gather_pallas_matches_xla_take(rng):
-    """The opt-in Pallas row gather (ops/gather_pallas.py) must match the
-    XLA take path of _gather_instance_table — forward (incl. the ids<0
-    zero-row pad handling) and the VJP (the scatter-add segment-sum onto
-    Gaussian rows)."""
-    import jax
-    import jax.numpy as jnp
-
-    from gsplat_tpu.ops.gather_pallas import fits, gather_rows
-
-    n, f, i_pad = 2048, 16, 4096
-    assert fits(n, f, i_pad)
-    pack = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
-    ids = rng.integers(0, n, i_pad).astype(np.int32)
-    ids[rng.choice(i_pad, i_pad // 5, replace=False)] = -1  # pad slots
-    ids = jnp.asarray(ids)
-
-    def xla(p, i):
-        safe = jnp.clip(i, 0, n - 1)
-        return jnp.take(p, safe, axis=0) * (i >= 0).astype(p.dtype)[:, None]
-
-    got = np.asarray(gather_rows(pack, ids))
-    want = np.asarray(xla(pack, ids))
-    np.testing.assert_allclose(got, want, rtol=0, atol=0)
-
-    # VJP parity through a scalar loss with non-uniform cotangents.
-    w = jnp.asarray(rng.normal(size=(i_pad, f)).astype(np.float32))
-    g_got = jax.grad(lambda p: jnp.sum(gather_rows(p, ids) * w))(pack)
-    g_want = jax.grad(lambda p: jnp.sum(xla(p, ids) * w))(pack)
-    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-5)
-
-    # Non-fitting shapes must be rejected by the gate.
-    assert not fits(4_000_000, 16, i_pad)   # VMEM ceiling
-    assert not fits(n + 1, 16, i_pad)       # sublane alignment
-    assert not fits(n, 16, i_pad + 1)       # id blocking
-
-
-def test_gather_instance_table_pallas_flag(rng, monkeypatch):
-    """GSPLAT_GATHER_PALLAS=1 routes _gather_instance_table through the
-    Pallas gather with identical output (eager call → env read per call)."""
-    import jax.numpy as jnp
-
-    from gsplat_tpu.ops.rasterize import _gather_instance_table
-
-    n, i_pad = 1024, 2048
-    mean_2d = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
-    conic = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
-    opac = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
-    feats = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
-    ids = rng.integers(0, n, i_pad).astype(np.int32)
-    ids[: i_pad // 4] = -1
-    ids = jnp.asarray(ids)
-
-    monkeypatch.setenv("GSPLAT_GATHER_PALLAS", "0")
-    want = np.asarray(_gather_instance_table(ids, mean_2d, conic, opac, feats))
-    monkeypatch.setenv("GSPLAT_GATHER_PALLAS", "1")
-    got = np.asarray(_gather_instance_table(ids, mean_2d, conic, opac, feats))
-    np.testing.assert_allclose(got, want, rtol=0, atol=0)
-
-
 def test_build_instances_duplicate_run_heavy(rng):
     """The dedup'd unique scatter-set spelling of the marker expansion
     (tiles.py round 3) must survive LONG duplicate-offset runs: consecutive
