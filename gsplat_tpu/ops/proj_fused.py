@@ -255,12 +255,56 @@ def _block_math(attr, shs, cam, *, max_degree, with_normal, near, far, radius_cl
     return jnp.concatenate(rows, axis=0)
 
 
+def _gm_to_wide(x3d):
+    """(8, gl, F) gaussian-major block -> (F*8, gl) wide lane layout.
+
+    The wide mapping puts logical row r, sublane-group i at wide row
+    8r + i with the SAME gaussian->(group, lane) assignment the XLA-side
+    (F, N)->(F*8, N/8) reshape produces, so gm blocks mix freely with
+    wide-layout outputs. Spelled as eight 2D sub-block transposes (XLU)
+    plus a lane-preserving stack+reshape — Mosaic lowers both. Moving the
+    transpose in-kernel is the point: the XLA-side (N,48).T SH relayout
+    was 4.77 of the prologue's 6.45 ms at 1M capacity (micro16)."""
+    f = x3d.shape[2]
+    gl = x3d.shape[1]
+    ts = [x3d[i].T for i in range(8)]  # (f, gl) each
+    return jnp.stack(ts, axis=1).reshape(f * 8, gl)
+
+
+def _math_kw(statics):
+    kw = dict(statics)
+    kw.pop("gm", None)  # layout flag for the call wrappers, not the math
+    return kw
+
+
 def _fwd_kernel(cam_ref, attr_ref, sh_ref, out_ref, *, statics):
-    out_ref[:] = _block_math(attr_ref[:], sh_ref[:], cam_ref[:], **dict(statics))
+    out_ref[:] = _block_math(attr_ref[:], sh_ref[:], cam_ref[:], **_math_kw(statics))
+
+
+def _fwd_kernel_gm(cam_ref, attr_ref, sh_ref, out_ref, *, statics):
+    out_ref[:] = _block_math(
+        _gm_to_wide(attr_ref[:]), _gm_to_wide(sh_ref[:]), cam_ref[:],
+        **_math_kw(statics),
+    )
+
+
+def _bwd_kernel_gm(cam_ref, attr_ref, sh_ref, g_ref, dattr_ref, dsh_ref, dcam_ref, *, statics):
+    def fn(attr_gm, sh_gm, cam):
+        return _block_math(
+            _gm_to_wide(attr_gm), _gm_to_wide(sh_gm), cam, **_math_kw(statics)
+        )
+
+    _, vjp = jax.vjp(fn, attr_ref[:], sh_ref[:], cam_ref[:])
+    d_attr, d_sh, d_cam = vjp(g_ref[:])  # gm-layout grads via the vjp
+    dattr_ref[:] = d_attr
+    dsh_ref[:] = d_sh
+    dcam_ref[:] = jnp.concatenate(
+        [d_cam, jnp.zeros((7, CAM_COLS), jnp.float32)], axis=0
+    )[None]
 
 
 def _bwd_kernel(cam_ref, attr_ref, sh_ref, g_ref, dattr_ref, dsh_ref, dcam_ref, *, statics):
-    fn = functools.partial(_block_math, **dict(statics))
+    fn = functools.partial(_block_math, **_math_kw(statics))
     _, vjp = jax.vjp(fn, attr_ref[:], sh_ref[:], cam_ref[:])
     d_attr, d_sh, d_cam = vjp(g_ref[:])
     dattr_ref[:] = d_attr
@@ -277,7 +321,27 @@ def _interpret() -> bool:
 
 
 def _fwd_call(cam, attr, shs, statics):
-    w = dict(statics)["w"]
+    st = dict(statics)
+    w = st["w"]
+    if st.get("gm"):
+        # attr (n, ATTR_ROWS) / shs (n, k3) gaussian-major; w == 8.
+        n, k3 = attr.shape[0], shs.shape[1]
+        nl, gl = n // 8, G // 8
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_gm, statics=statics),
+            grid=(n // G,),
+            in_specs=[
+                pl.BlockSpec((1, CAM_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, gl, ATTR_ROWS), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, gl, k3), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((OUT_ROWS * 8, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((OUT_ROWS * 8, nl), jnp.float32),
+            interpret=_interpret(),
+            # (n, F) -> (8, n/8, F) is a free contiguous row split; the
+            # in-kernel _gm_to_wide reproduces the wide gaussian mapping.
+        )(cam, attr.reshape(8, nl, ATTR_ROWS), shs.reshape(8, nl, k3))
+        return out.reshape(OUT_ROWS, n)
     n = attr.shape[1]  # logical (padded) gaussian count
     k3 = shs.shape[0]
     nl, gl = n // w, G // w  # lanes per logical row / per grid step
@@ -299,7 +363,38 @@ def _fwd_call(cam, attr, shs, statics):
 
 
 def _bwd_call(cam, attr, shs, g, statics):
-    w = dict(statics)["w"]
+    st = dict(statics)
+    w = st["w"]
+    if st.get("gm"):
+        n, k3 = attr.shape[0], shs.shape[1]
+        nl, gl = n // 8, G // 8
+        d_attr, d_sh, d_cam = pl.pallas_call(
+            functools.partial(_bwd_kernel_gm, statics=statics),
+            grid=(n // G,),
+            in_specs=[
+                pl.BlockSpec((1, CAM_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, gl, ATTR_ROWS), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, gl, k3), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((OUT_ROWS * 8, gl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((8, gl, ATTR_ROWS), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, gl, k3), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, CAM_COLS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((8, nl, ATTR_ROWS), jnp.float32),
+                jax.ShapeDtypeStruct((8, nl, k3), jnp.float32),
+                jax.ShapeDtypeStruct((n // G, 8, CAM_COLS), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(cam, attr.reshape(8, nl, ATTR_ROWS), shs.reshape(8, nl, k3),
+          g.reshape(OUT_ROWS * 8, nl))
+        return (
+            d_attr.reshape(n, ATTR_ROWS),
+            d_sh.reshape(n, k3),
+            jnp.sum(d_cam, axis=(0, 1))[None],
+        )
     n = attr.shape[1]
     k3 = shs.shape[0]
     nl, gl = n // w, G // w
@@ -370,25 +465,49 @@ def project_and_sh_fused(
     """Fused projection + SH. Returns the same dict as ops.projection.project
     plus "rgb" (N, 3). Differentiable w.r.t. every array input including the
     pose (R_w2c, t_w2c)."""
+    import os
+
     n = means.shape[0]
     K = shs.shape[1]
     max_degree = int(round(K**0.5)) - 1
     n_pad = -(-n // G) * G
-
-    def pad(x):
-        return jnp.pad(x, ((0, 0), (0, n_pad - n))) if n_pad != n else x
-
-    attr = pad(
-        jnp.concatenate(
-            [means.T, quats.T, scales.T, jnp.zeros((ATTR_ROWS - 10, n), jnp.float32)],
-            axis=0,
-        )
-    )
     k3 = max(8, 3 * K)  # sublane-friendly minimum
-    shsT = shs.reshape(n, 3 * K).T
-    if k3 != 3 * K:
-        shsT = jnp.concatenate([shsT, jnp.zeros((k3 - 3 * K, n), jnp.float32)], axis=0)
-    shsT = pad(shsT)
+    wide = os.environ.get("GSPLAT_PROLOGUE_WIDE", "1") != "0"
+    # Gaussian-major input layout (default on, wide only): attr/SH stay
+    # (N, F) and the lane transpose happens inside the kernel
+    # (_gm_to_wide) — the XLA-side (N,48).T + wide split was 4.77 ms of
+    # the 6.45 ms prologue at 1M capacity (micro16). GSPLAT_PROLOGUE_GM=0
+    # restores the transposed-input path.
+    gm = wide and os.environ.get("GSPLAT_PROLOGUE_GM", "1") != "0"
+
+    if gm:
+        def padr(x):  # pad gaussian ROWS (usually a no-op: capacity % 4096 == 0)
+            return jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
+
+        attr = padr(jnp.concatenate(
+            [means, quats, scales, jnp.zeros((n, ATTR_ROWS - 10), jnp.float32)],
+            axis=1,
+        ))
+        shs_in = shs.reshape(n, 3 * K)
+        if k3 != 3 * K:
+            shs_in = jnp.concatenate(
+                [shs_in, jnp.zeros((n, k3 - 3 * K), jnp.float32)], axis=1)
+        shs_in = padr(shs_in)
+    else:
+        def pad(x):
+            return jnp.pad(x, ((0, 0), (0, n_pad - n))) if n_pad != n else x
+
+        attr = pad(
+            jnp.concatenate(
+                [means.T, quats.T, scales.T, jnp.zeros((ATTR_ROWS - 10, n), jnp.float32)],
+                axis=0,
+            )
+        )
+        shs_in = shs.reshape(n, 3 * K).T
+        if k3 != 3 * K:
+            shs_in = jnp.concatenate(
+                [shs_in, jnp.zeros((k3 - 3 * K, n), jnp.float32)], axis=0)
+        shs_in = pad(shs_in)
 
     cam = jnp.zeros((1, CAM_COLS), jnp.float32)
     cam = cam.at[0, 0:9].set(jnp.asarray(R_w2c, jnp.float32).reshape(9))
@@ -398,8 +517,6 @@ def project_and_sh_fused(
     cam = cam.at[0, 16:18].set(jnp.asarray(resolution_wh, jnp.float32))
     cam = cam.at[0, 18].set(jnp.asarray(sh_degree, jnp.float32))
 
-    import os
-
     statics = (
         ("max_degree", max_degree),
         ("with_normal", with_normal),
@@ -407,9 +524,10 @@ def project_and_sh_fused(
         ("far", float(far_plane)),
         ("radius_clip", float(radius_clip)),
         # Sublane width of a logical row (see _block_math); 8 = full vregs.
-        ("w", 1 if os.environ.get("GSPLAT_PROLOGUE_WIDE", "1") == "0" else 8),
+        ("w", 8 if wide else 1),
+        ("gm", gm),
     )
-    out = _proj_sh_packed(cam, attr, shsT, statics)[:, :n]
+    out = _proj_sh_packed(cam, attr, shs_in, statics)[:, :n]
 
     res = {
         "depth": out[R_DEPTH],
