@@ -105,14 +105,32 @@ class SkyDome:
             max_instances=max_instances,
             impl=impl,
         )
+        self._cfg_cache = {(camera.width, camera.height): self.config}
 
     @property
     def n(self) -> int:
         return self.points.shape[0]
 
+    def config_for(self, camera: Camera) -> RasterizerConfig:
+        """Rasterizer config at `camera`'s resolution (cached per (W, H)).
+
+        The construction camera only seeds the default — a mixed-resolution
+        dataset must not render the sky at the wrong shape (the reference
+        rebuilds its rasterizer on every resize, gui/worker.jl:628-632)."""
+        key = (camera.width, camera.height)
+        cfg = self._cfg_cache.get(key)
+        if cfg is None:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                self.config, width=camera.width, height=camera.height
+            )
+            self._cfg_cache[key] = cfg
+        return cfg
+
     def render(self, camera: Camera, features_dc, config: RasterizerConfig | None = None):
         """(H, W, 3) sky image. features_dc: (n, 1, 3) trainable."""
-        cfg = config or self.config
+        cfg = config or self.config_for(camera)
         img, _ = rasterize(
             self.points,
             self.rotations,

@@ -200,6 +200,23 @@ def test_sky_dome_hole_free():
     np.testing.assert_allclose(np.asarray(img[..., :3]), 0.5, atol=0.02)
 
 
+def test_sky_dome_mixed_resolution():
+    """SkyDome.render must follow the render camera's resolution, not the
+    construction camera's (config_for caches per (W, H); the reference
+    rebuilds its rasterizer on resize, gui/worker.jl:628-632)."""
+    cam = Camera.create(width=64, height=48, focal=np.array([60.0, 60.0], np.float32))
+    dome = SkyDome(cam, n_points=512, shape="sphere", radius=10.0, impl="scan",
+                   max_instances=1 << 14)
+    small = cam.with_resolution(32, 32)
+    img = dome.render(small, dome.init_features_dc)
+    assert img.shape == (32, 32, 3)
+    img2 = dome.render(cam, dome.init_features_dc)
+    assert img2.shape == (48, 64, 3)
+    # The cache hands back one config object per resolution.
+    assert dome.config_for(small) is dome.config_for(small)
+    assert dome.config_for(cam) is dome.config
+
+
 def test_composite_sky_identity(rng):
     img = jnp.asarray(rng.uniform(0, 1, (8, 8, 3)), jnp.float32)
     sky = jnp.asarray(rng.uniform(0, 1, (8, 8, 3)), jnp.float32)
