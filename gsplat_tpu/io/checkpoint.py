@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 FORMAT_TAG = "gsplat_tpu-checkpoint-1"
+REFERENCE_FORMAT_TAG = "GaussianSplatting.jl-checkpoint-1"
 PARAM_NAMES = ("points", "features_dc", "features_rest", "scales", "rotations", "opacities")
 
 
@@ -74,6 +75,71 @@ def save_checkpoint(path: str, state, camera=None, metadata: dict | None = None)
     save_file(tensors, path, metadata=meta)
 
 
+def _convert_reference_checkpoint(tensors: dict, meta: dict):
+    """Translate a `GaussianSplatting.jl-checkpoint-1` safetensors table
+    into this module's schema (reference: checkpoint.jl:15-70, model state
+    gaussians.jl:91-116, Adam state training.jl:397-414, document
+    training.jl:419-469).
+
+    Julia arrays are column-major and serialized in C order with reversed
+    dims, so e.g. `points :: (3, N)` arrives as an (N, 3) tensor — already
+    this package's convention; a feature-major variant is transposed
+    defensively. Scalars ride `__metadata__` as strings. The reference has
+    no densification-stats tensors (it tracks them outside the checkpoint),
+    so those restart at zero; `sky`/`bilateral` groups are skipped with a
+    warning (their geometry is dataset-derived on this side)."""
+    n = None
+    out = {}
+    for k in PARAM_NAMES:
+        t = np.ascontiguousarray(tensors[f"gaussians.{k}"], np.float32)
+        if n is None:
+            # points: (N, 3) expected; tolerate the (3, N) spelling.
+            if t.ndim == 2 and t.shape[0] == 3 and t.shape[1] != 3:
+                t = t.T
+            n = t.shape[0]
+        out[f"gaussians.{k}"] = _ref_param(k, t, n)
+    for name in PARAM_NAMES:
+        for ours, theirs in (("mu", "mu"), ("nu", "nu")):
+            key = f"optimizers.{name}.{theirs}.1"
+            t = np.ascontiguousarray(tensors[key], np.float32)
+            out[f"optimizers.{name}.{ours}"] = _ref_param(name, t, n)
+    step = int(float(meta.get("step", "0")))
+    opt_step = int(float(meta.get("optimizers.points.current_step", step)))
+    out["step"] = np.array([step], np.int64)
+    out["optimizers.step"] = np.array([opt_step], np.int64)
+    zeros = np.zeros((n,), np.float32)
+    out["stats.max_radii"] = zeros
+    out["stats.grad_accum"] = zeros
+    out["stats.denom"] = zeros
+    skipped = sorted({k.split(".")[0] for k in tensors
+                      if k.split(".")[0] in ("sky", "bilateral")})
+    if skipped:
+        print(f"[checkpoint] reference groups skipped on import: {skipped} "
+              "(geometry is dataset-derived; re-enable the features to "
+              "rebuild them)", flush=True)
+    new_meta = {
+        "format": FORMAT_TAG,
+        "sh_degree": meta.get("gaussians.sh_degree", "3"),
+        "isotropic": str(int(out["gaussians.scales"].shape[1] == 1)),
+        "imported_from": REFERENCE_FORMAT_TAG,
+    }
+    return out, new_meta
+
+
+def _ref_param(name: str, t: np.ndarray, n: int) -> np.ndarray:
+    """Normalize one reference tensor to this package's array convention."""
+    # Feature-major 2D spellings -> gaussian-major.
+    if t.ndim == 2 and t.shape[0] != n and t.shape[1] == n:
+        t = np.ascontiguousarray(t.T)
+    # features_dc/rest: (3, K, N) -> (N, K, 3).
+    if t.ndim == 3 and t.shape[0] == 3 and t.shape[2] == n:
+        t = np.ascontiguousarray(np.moveaxis(t, (0, 1, 2), (2, 1, 0)))
+    if name == "opacities":
+        t = t.reshape(n)  # (N, 1) -> (N,)
+    assert t.shape[0] == n, (name, t.shape)
+    return t
+
+
 def load_checkpoint(path: str, *, capacity: int | None = None):
     """-> (TrainState, Camera | None, metadata dict)."""
     from safetensors import safe_open
@@ -87,8 +153,14 @@ def load_checkpoint(path: str, *, capacity: int | None = None):
         meta = dict(f.metadata() or {})
         for k in f.keys():
             tensors[k] = f.get_tensor(k)
+    if meta.get("format") == REFERENCE_FORMAT_TAG:
+        # A checkpoint written by the Julia reference: translate its schema
+        # in place, then fall through to the ordinary loader.
+        tensors, meta = _convert_reference_checkpoint(tensors, meta)
     if meta.get("format") != FORMAT_TAG:
-        raise ValueError(f"not a {FORMAT_TAG} file (format={meta.get('format')!r})")
+        raise ValueError(
+            f"not a {FORMAT_TAG} or {REFERENCE_FORMAT_TAG} file "
+            f"(format={meta.get('format')!r})")
 
     n = tensors["gaussians.points"].shape[0]
     cap = capacity or n

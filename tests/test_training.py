@@ -79,6 +79,67 @@ def test_checkpoint_roundtrip(dataset, tmp_path):
     assert int(trainer2.state.step) == int(trainer.state.step) + 2
 
 
+def test_reference_checkpoint_import(dataset, tmp_path):
+    """A `GaussianSplatting.jl-checkpoint-1` file loads into a TrainState
+    with exact params, Adam moments, and step (reference schema:
+    checkpoint.jl:15-70, gaussians.jl:91-102, training.jl:397-414,419-447).
+
+    The file is hand-built to the reference writer's layout: Julia arrays
+    are column-major, serialized in C order with reversed dims — points
+    (3, N) lands as an (N, 3) tensor, features (3, K, N) as (N, K, 3),
+    opacities (1, N) as (N, 1); scalars ride __metadata__ as strings."""
+    from safetensors.numpy import save_file
+
+    trainer = make_trainer(dataset)
+    trainer.train(3)
+    st = trainer.state
+    alive = np.asarray(st.model.alive)
+    n = int(alive.sum())
+
+    def julia_view(name, x):
+        x = np.asarray(x)[alive]
+        if name == "opacities":
+            return np.ascontiguousarray(x.reshape(n, 1))
+        return np.ascontiguousarray(x)
+
+    tensors, meta = {}, {}
+    for k, v in st.model.params().items():
+        tensors[f"gaussians.{k}"] = julia_view(k, v)
+    for name in st.model.params():
+        tensors[f"optimizers.{name}.mu.1"] = julia_view(name, st.opt["mu"][name])
+        tensors[f"optimizers.{name}.nu.1"] = julia_view(name, st.opt["nu"][name])
+        meta[f"optimizers.{name}.n_moments"] = "1"
+        meta[f"optimizers.{name}.current_step"] = str(int(st.opt["step"]))
+    meta["gaussians.sh_degree"] = str(st.model.sh_degree)
+    meta["gaussians.max_sh_degree"] = str(st.model.max_sh_degree)
+    meta["step"] = str(int(st.step))
+    meta["format"] = "GaussianSplatting.jl-checkpoint-1"
+    # An optional group the importer must skip gracefully.
+    tensors["sky.gaussians.points"] = np.zeros((4, 3), np.float32)
+    path = str(tmp_path / "ref.safetensors")
+    save_file(tensors, path, metadata=meta)
+
+    state2, cam2, meta2 = load_checkpoint(path)
+    assert meta2.get("imported_from") == "GaussianSplatting.jl-checkpoint-1"
+    assert cam2 is None
+    assert int(state2.step) == int(st.step)
+    assert int(state2.opt["step"]) == int(st.opt["step"])
+    for k, v in st.model.params().items():
+        np.testing.assert_array_equal(
+            np.asarray(v)[alive], np.asarray(state2.model.params()[k]), err_msg=k)
+    for k in st.model.params():
+        np.testing.assert_array_equal(
+            np.asarray(st.opt["mu"][k])[alive], np.asarray(state2.opt["mu"][k]))
+        np.testing.assert_array_equal(
+            np.asarray(st.opt["nu"][k])[alive], np.asarray(state2.opt["nu"][k]))
+
+    # Resume training from the imported state works.
+    trainer2 = Trainer(state2.model, dataset, max_instances=8192)
+    trainer2.state = state2
+    trainer2.train(2)
+    assert int(trainer2.state.step) == int(st.step) + 2
+
+
 def test_checkpoint_rejects_junk(tmp_path):
     from safetensors.numpy import save_file
 
