@@ -64,11 +64,39 @@ def main():
             with_normal=False,
         )["mean_2d"]
 
-    for wide in ("1", "0"):
+    for wide, gm in (("1", "1"), ("1", "0"), ("0", "0")):
         os.environ["GSPLAT_PROLOGUE_WIDE"] = wide
-        ms = fetch_time(jax.jit(full), means, quats, scales, shs)
-        print(f"[micro16] N={n} wide={wide}: {ms:.2f} ms", flush=True)
+        os.environ["GSPLAT_PROLOGUE_GM"] = gm
+        try:
+            ms = fetch_time(jax.jit(full), means, quats, scales, shs)
+            print(f"[micro16] N={n} wide={wide} gm={gm}: {ms:.2f} ms", flush=True)
+        except Exception as e:
+            print(f"[micro16] N={n} wide={wide} gm={gm}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
     os.environ["GSPLAT_PROLOGUE_WIDE"] = "1"
+    os.environ["GSPLAT_PROLOGUE_GM"] = "1"
+
+    # fwd+bwd with the gm layout (the backward emits gm-layout grads).
+    def full_grad(means, quats, scales, shs):
+        def loss(m, q, s, sh):
+            r = project_and_sh_fused(
+                m, q, s, sh, cam.R, cam.t, cam.focal,
+                cam.principal * res, res, 3,
+                near_plane=0.2, far_plane=10_000.0, radius_clip=RADIUS_CLIP,
+                with_normal=False,
+            )
+            return jnp.sum(r["mean_2d"]) + jnp.sum(r["rgb"])
+        return jax.grad(loss, argnums=(0, 3))(means, quats, scales, shs)
+
+    for gm in ("1", "0"):
+        os.environ["GSPLAT_PROLOGUE_GM"] = gm
+        try:
+            ms = fetch_time(jax.jit(full_grad), means, quats, scales, shs)
+            print(f"[micro16] fwd+bwd gm={gm}: {ms:.2f} ms", flush=True)
+        except Exception as e:
+            print(f"[micro16] fwd+bwd gm={gm}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+    os.environ["GSPLAT_PROLOGUE_GM"] = "1"
 
     # Build stages in isolation (each fetch-terminated).
     def build_attr(means, quats, scales):
