@@ -81,7 +81,10 @@ def _autotune(model, cams, budget, mode):
     # the size-based default could pick a sort+reduce spelling at this
     # budget, whose ~20 ms would drown the blend variants' differences.
     base = {"GSPLAT_BLEND_TB": "1", "GSPLAT_BLEND_SIGMA_MM": "0",
-            "GSPLAT_BLEND_ALGO": "cm", "GSPLAT_GATHER_BWD": "scatter"}
+            "GSPLAT_BLEND_ALGO": "cm", "GSPLAT_GATHER_BWD": "scatter",
+            # Conservative while tuning the blend; toggled at the end so a
+            # gm-lowering failure can never poison the whole grid.
+            "GSPLAT_PROLOGUE_GM": "0"}
     # Blend variants interact (both change the kernel); tune jointly.
     # algo=pm is the pixel-major forward (differentiable: the vjp replays
     # the chunk-major backward either way); sigma_mm is cm-only.
@@ -106,6 +109,14 @@ def _autotune(model, cams, budget, mode):
                   f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
             if ms is not None and (best_ms is None or ms < best_ms * 0.98):
                 best, best_ms = combo, ms
+    # Gaussian-major prologue inputs (in-kernel lane transpose): the
+    # package default; verify it lowers AND wins on this chip.
+    g_on = dict(best, GSPLAT_PROLOGUE_GM="1")
+    ms = time_combo(g_on)
+    print(f"[autotune] +prologue_gm: "
+          f"{'skip' if ms is None else f'{ms:.2f} ms'}", file=sys.stderr)
+    if ms is not None and best_ms is not None and ms < best_ms * 1.005:
+        best, best_ms = g_on, min(ms, best_ms)
     for k, v in best.items():
         os.environ[k] = v
     print(f"[autotune] chose {best} ({best_ms and round(best_ms, 2)} ms)",

@@ -117,9 +117,11 @@ def main():
     if "e6" in want:
         # Deviation arm: size prune off (documented knob) vs the faithful
         # protocol run on the same scene.
+        # Evals line up with the faithful r3 protocol rows (2000: 28.11,
+        # 4000: 20.62, 7000: 21.05 — RESULTS.md) for a direct comparison.
         out["e6_noprune"] = _fresh(
             ds_hd, "default", strategy_kw={"max_screen_size": 0},
-            tag="default/mss0",
+            evals=(2000, 4000, 7000), tag="default/mss0",
         )
     if "e7" in want:
         # Post-reset recovery trace: fine-grained holdout PSNR through the
