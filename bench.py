@@ -233,8 +233,11 @@ def main():
                       file=sys.stderr)
                 budget = fitted
             best = None
-            for algo in ("pm", "cm"):
+            for algo, grp in (("pm", "8"), ("pm", "16"), ("pm", "32"),
+                              ("cm", None)):
                 os.environ["GSPLAT_BLEND_ALGO"] = algo
+                if grp is not None:
+                    os.environ["GSPLAT_BLEND_PM_GROUP"] = grp
                 try:
                     fwd, img, _ = fit(budget)
                     _ = np.asarray(img.ravel()[0])
@@ -244,18 +247,21 @@ def main():
                     _ = np.asarray(img.ravel()[0])
                     ms = (time.perf_counter() - t0) / 10 * 1e3
                 except Exception as e:
-                    print(f"[render bench] algo={algo} FAILED: {type(e).__name__}: {e}",
-                          file=sys.stderr)
+                    print(f"[render bench] algo={algo} grp={grp} FAILED: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr)
                     continue
-                print(f"[render bench] algo={algo}: {ms:.2f} ms/frame", file=sys.stderr)
+                print(f"[render bench] algo={algo} grp={grp}: {ms:.2f} ms/frame",
+                      file=sys.stderr)
                 if best is None or ms < best[1]:
-                    best = (algo, ms, fwd, img)
+                    best = (algo, grp, ms, fwd, img)
             if best is None:
                 raise RuntimeError(
                     "render bench: every blend algo failed to lower/run "
                     "(see [render bench] algo=... FAILED lines above)")
-            algo, _ms, fwd, img = best
+            algo, grp, _ms, fwd, img = best
             os.environ["GSPLAT_BLEND_ALGO"] = algo
+            if grp is not None:
+                os.environ["GSPLAT_BLEND_PM_GROUP"] = grp
             _ = np.asarray(img.ravel()[0])
             t0 = time.perf_counter()
             for i in range(steps):

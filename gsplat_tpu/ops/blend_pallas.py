@@ -529,8 +529,12 @@ def _blend_fwd_impl(
         unsort = jnp.argsort(order)
 
     if algo == "pm":
+        import os
+
+        grp = int(os.environ.get("GSPLAT_BLEND_PM_GROUP", "8"))
+        assert grp in (8, 16, 32), grp  # must divide the 32-slot sub-align
         kernel = functools.partial(
-            _fwd_kernel_pm, gx=gx, n_feat=n_feat, i_pad=i_pad, tb=tb,
+            _fwd_kernel_pm, gx=gx, n_feat=n_feat, i_pad=i_pad, tb=tb, grp=grp,
         )
         out_spec = pl.BlockSpec(
             (tb, OUT_ROWS, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -627,6 +631,7 @@ def _fwd_kernel_pm(
     n_feat: int,
     i_pad: int,
     tb: int,
+    grp: int = 8,
 ):
     t = pl.program_id(0)
     max_off = i_pad - CHUNK
@@ -648,8 +653,12 @@ def _fwd_kernel_pm(
         return px, py
 
     coords = [pix(b) for b in range(tb)]
-    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)  # sublane index
+    # `grp` instances per group iteration: wider groups trade a few masked
+    # sublanes for proportionally fewer fori/cond iterations — the measured
+    # loss of the 8-wide pm vs chunk-major was per-group loop overhead, not
+    # vector work (PERFORMANCE.md r4 final). Must divide the 32-slot
+    # sub-chunk alignment or CHUNK.
+    srow = jax.lax.broadcasted_iota(jnp.int32, (grp, 1), 0)  # sublane index
 
     def get_dma(j, slot, b):
         off = jnp.clip(astarts[b] + j * CHUNK, 0, max_off)
@@ -682,28 +691,28 @@ def _fwd_kernel_pm(
             # Group window of this tile's rows within chunk j.
             lo = jnp.maximum(base - j * CHUNK, 0)
             hi = jnp.minimum(base + count - j * CHUNK, CHUNK)
-            g0 = lo // 8
-            g1 = pl.cdiv(jnp.maximum(hi, lo), jnp.int32(8))
+            g0 = lo // grp
+            g1 = pl.cdiv(jnp.maximum(hi, lo), jnp.int32(grp))
 
             def group(g, acc):
                 color_b, T_b, done_b, contrib_b = acc
 
                 def live(acc):
                     color_b, T_b, done_b, contrib_b = acc
-                    blk = st_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :]  # (8, F_PAD)
+                    blk = st_ref[pl.ds(pl.multiple_of(g * grp, grp), grp), :]  # (grp, F_PAD)
                     x = blk[:, ROW_X : ROW_X + 1]  # (8, 1)
                     y = blk[:, ROW_Y : ROW_Y + 1]
                     a = blk[:, ROW_CONIC_A : ROW_CONIC_A + 1]
                     bb = blk[:, ROW_CONIC_B : ROW_CONIC_B + 1]
                     c = blk[:, ROW_CONIC_C : ROW_CONIC_C + 1]
                     op = blk[:, ROW_OPACITY : ROW_OPACITY + 1]
-                    dx = x - px  # (8, P)
+                    dx = x - px  # (grp, P)
                     dy = y - py
                     sigma = bb * dx * dy + 0.5 * (a * dx * dx + c * dy * dy)
                     opG = op * jnp.exp(-sigma)
                     # 1-based rank within the tile (sub-chunk alignment: the
                     # tile starts `base` lanes into its first slab).
-                    rank1 = j * CHUNK + g * 8 + srow - base + 1  # (8, 1)
+                    rank1 = j * CHUNK + g * grp + srow - base + 1  # (grp, 1)
                     keep = (
                         (sigma >= 0.0)
                         & (opG >= ALPHA_MIN)
@@ -712,18 +721,21 @@ def _fwd_kernel_pm(
                     )
                     alpha = jnp.where(keep, jnp.minimum(ALPHA_MAX, opG), 0.0)
                     one_m = 1.0 - alpha  # 1 on dead rows
-                    # Inclusive cumprod along sublanes: 3 rolled multiplies.
+                    # Inclusive cumprod along sublanes: log2(grp) rolled
+                    # multiplies (Hillis-Steele).
                     cp = one_m
-                    for s in (1, 2, 4):
+                    sh = 1
+                    while sh < grp:
                         cp = cp * jnp.where(
-                            srow >= s, pltpu.roll(cp, shift=s, axis=0), 1.0
+                            srow >= sh, pltpu.roll(cp, shift=sh, axis=0), 1.0
                         )
-                    T_incl = T_b * cp  # (8, P): T after instance i
+                        sh *= 2
+                    T_incl = T_b * cp  # (grp, P): T after instance i
                     T_before = T_incl / one_m
                     not_term = T_incl >= TRANSMITTANCE_EPS
                     include = keep & not_term & (done_b < 0.5)
                     w = jnp.where(include, alpha * T_before, 0.0)
-                    feat = blk[:, ROW_FEAT : ROW_FEAT + n_feat]  # (8, C)
+                    feat = blk[:, ROW_FEAT : ROW_FEAT + n_feat]  # (grp, C)
                     color_b = color_b + jax.lax.dot_general(
                         feat, w, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
