@@ -61,21 +61,43 @@ def e2_resume(ds):
 
 
 def _fresh(ds, strategy, max_sh_degree=3, evals=(1400, 3500, 7000),
-           antialiased=False, strategy_kw=None, tag=""):
+           antialiased=False, strategy_kw=None, tag="", autosave_dir=None):
+    import glob
+
     from gsplat_tpu.api import create_strategy, reference_opt_params
     from gsplat_tpu.models.gaussians import GaussianModel
     from gsplat_tpu.train.trainer import Trainer
 
-    model = GaussianModel.create(
-        ds.points, ds.colors, ds.scales, max_sh_degree=max_sh_degree
-    )
-    tr = Trainer(
-        model, ds, opt_params=reference_opt_params(),
-        strategy=create_strategy(strategy, seed=0, **(strategy_kw or {})),
-        max_instances=1 << 21, seed=0, antialiased=antialiased,
-    )
-    rows, done = [], 0
+    tr, done = None, 0
+    if autosave_dir:
+        # Crash-resumable like api.benchmark: `qexp_<tag>` prefix keeps the
+        # experiment arms' autosaves apart from the protocol runs' bench_*.
+        stem = os.path.join(autosave_dir, f"qexp_{(tag or strategy).replace('/', '_')}")
+        saves = sorted(glob.glob(f"{stem}-*.safetensors"))
+        if saves:
+            tr = Trainer.from_checkpoint(
+                saves[-1], ds, opt_params=reference_opt_params(),
+                strategy=create_strategy(strategy, seed=0, **(strategy_kw or {})),
+                max_instances=1 << 21, seed=0,
+            )
+            done = int(tr.state.step)
+            log(f"resumed {tag or strategy} from {saves[-1]} @ step {done}")
+    if tr is None:
+        model = GaussianModel.create(
+            ds.points, ds.colors, ds.scales, max_sh_degree=max_sh_degree
+        )
+        tr = Trainer(
+            model, ds, opt_params=reference_opt_params(),
+            strategy=create_strategy(strategy, seed=0, **(strategy_kw or {})),
+            max_instances=1 << 21, seed=0, antialiased=antialiased,
+        )
+    if autosave_dir:
+        tr.autosave_every = 2000
+        tr.autosave_path = stem + ".safetensors"
+    rows = []
     for target in evals:
+        if target <= done:
+            continue
         t0 = time.time()
         tr.train(target - done)
         done = target
@@ -122,6 +144,7 @@ def main():
         out["e6_noprune"] = _fresh(
             ds_hd, "default", strategy_kw={"max_screen_size": 0},
             evals=(2000, 4000, 7000), tag="default/mss0",
+            autosave_dir="benchmark/scenes/atrium_hd",
         )
     if "e7" in want:
         # Post-reset recovery trace: fine-grained holdout PSNR through the
