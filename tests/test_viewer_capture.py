@@ -120,6 +120,46 @@ def test_capture_path_renders_frames(tmp_path):
     assert first.max() > 10
 
 
+def test_capture_path_mid_path_overflow(tmp_path):
+    """Instance demand varies with pose ALONG the path: a later frame that
+    overflows the first-frame-probed budget must be re-rendered at a grown
+    budget, not silently truncated (r4 advisor finding)."""
+    import jax
+
+    from gsplat_tpu.ops.rasterize import RasterizerConfig, render
+    from gsplat_tpu.utils.camera_path import capture_path
+
+    model = _toy_model()
+    path = CameraPath()
+    for dist in (20.0, 1.2):  # far first (tiny footprint), then very close
+        R, t = look_at(np.array([0.0, 0.3, dist]), np.zeros(3))
+        path.append(Camera.create(
+            width=128, height=80,
+            focal=np.array([100.0, 100.0], np.float32)).replace(R=R, t=t))
+    base = Camera.create(
+        width=128, height=80, focal=np.array([100.0, 100.0], np.float32)
+    )
+    cams = list(path.cameras(base, 3))
+    # Budget fits the far view but not the close one.
+    small = 1 << 9
+    cfg_big = RasterizerConfig(width=128, height=80, mode="rgb",
+                               max_instances=1 << 16, impl="scan", chunk=32)
+    want_last, aux = jax.jit(
+        lambda a, c: render(*a, camera=c, config=cfg_big, sh_degree=0)
+    )(model.render_args(), cams[-1])
+    assert not bool(aux["overflow"])
+    assert int(aux["p_instances"]) > small  # the last frame MUST overflow
+
+    out = capture_path(model, path, base, str(tmp_path / "frames"),
+                       n_frames=3, max_instances=small)
+    from PIL import Image
+
+    files = sorted(os.listdir(out))
+    last = np.asarray(Image.open(os.path.join(out, files[-1])))
+    want_u8 = np.clip(np.asarray(want_last[..., :3]) * 255, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(last, want_u8)
+
+
 def test_pipelined_order_and_drain():
     events = []
     pipelined(
