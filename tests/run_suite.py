@@ -36,12 +36,18 @@ FILE_TIMEOUT = 1200
 LONG_TIMEOUT = 2400
 
 
-def run_file(path: Path, args, *, include_long: bool):
+def run_file(path: Path, args, *, include_long: bool, cores: str | None = None):
     env = dict(os.environ)
     env.setdefault("PALLAS_AXON_POOL_IPS", "")
     env.setdefault("JAX_PLATFORMS", "cpu")
     cmd = [sys.executable, "-m", "pytest", str(path), "-q", "-n0",
            "--no-header", "-p", "no:cacheprovider"]
+    if cores:
+        # Pin each worker to its own cores: two unpinned XLA:CPU processes
+        # oversubscribe the box with busy-wait Eigen pools and interpret-
+        # mode files balloon 10x (measured: test_blend_pallas 1 min solo,
+        # >20 min with two free-running workers).
+        cmd = ["taskset", "-c", cores] + cmd
     if not include_long:
         cmd += ["-k", "not long_horizon"]
     cmd += args
@@ -81,7 +87,15 @@ def main():
     queue = list(files)
     results = {}
 
-    def worker():
+    ncpu = os.cpu_count() or 4
+    nw = max(1, opts.j)
+    core_sets = []
+    for i in range(nw):
+        lo = i * ncpu // nw
+        hi = max((i + 1) * ncpu // nw, lo + 1)
+        core_sets.append(",".join(str(c) for c in range(lo, min(hi, ncpu))))
+
+    def worker(wid):
         while True:
             with lock:
                 if not queue:
@@ -89,7 +103,8 @@ def main():
                 path = queue.pop(0)
             for attempt in (1, 2):
                 rc, out, dt = run_file(path, opts.pytest_args,
-                                       include_long=opts.long)
+                                       include_long=opts.long,
+                                       cores=core_sets[wid] if nw > 1 else None)
                 # rc 5 = "no tests collected" (e.g. everything deselected):
                 # not a failure of the suite.
                 ok = rc in (0, 5)
@@ -103,7 +118,7 @@ def main():
             with lock:
                 results[path.name] = (rc, out)
 
-    threads = [threading.Thread(target=worker) for _ in range(max(1, opts.j))]
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(nw)]
     t0 = time.time()
     for t in threads:
         t.start()
