@@ -38,8 +38,14 @@ LONG_TIMEOUT = 2400
 
 def run_file(path: Path, args, *, include_long: bool, cores: str | None = None):
     env = dict(os.environ)
-    env.setdefault("PALLAS_AXON_POOL_IPS", "")
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    if not env.get("GST_TEST_TPU"):
+        # FORCE the CPU backend (not setdefault): shells on this box export
+        # JAX_PLATFORMS=axon + a live pool IP, and a suite that inherits
+        # them dispatches every op through the single-chip TPU tunnel —
+        # catastrophically slow and a direct violation of the one-JAX-
+        # process-per-TPU rule when a quality run holds the chip.
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
     cmd = [sys.executable, "-m", "pytest", str(path), "-q", "-n0",
            "--no-header", "-p", "no:cacheprovider"]
     if cores:
