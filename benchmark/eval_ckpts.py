@@ -32,9 +32,14 @@ def main():
 
     args = sys.argv[1:]
     scene = pop_scene(args, SCENE)
+    strat = "default"
+    if "--strategy" in args:
+        i = args.index("--strategy")
+        strat = args[i + 1]
+        del args[i:i + 2]
     want = {int(a) for a in args} or None
     dataset = load_colmap(scene, scale=1, holdout=8, max_extent=float("inf"))
-    saves = sorted(glob.glob(os.path.join(scene, "bench_default-*.safetensors")))
+    saves = sorted(glob.glob(os.path.join(scene, f"bench_{strat}-*.safetensors")))
     rows = []
     for path in saves:
         step = int(re.search(r"-(\d+)\.safetensors$", path).group(1))
@@ -43,7 +48,7 @@ def main():
         trainer = Trainer.from_checkpoint(
             path, dataset,
             opt_params=reference_opt_params(),
-            strategy=create_strategy("default", seed=0),
+            strategy=create_strategy(strat, seed=0),
             max_instances=1 << 21,
             seed=0,
         )
