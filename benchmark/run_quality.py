@@ -51,7 +51,10 @@ rows = benchmark(
     strategies=strategies,
     n_steps=n_steps,
     eval_steps=(7_000, 30_000),
-    autosave_every=2_000,
+    # 1000, not 2000: the tunnel wedges every ~30-60 min in bad windows
+    # (three kills in stage 1 of r5 alone) and the watchdog-resume loses
+    # everything since the last autosave.
+    autosave_every=1_000,
     max_screen_size=mss,
     max_instances=mi,
     mcmc_cap=cap,
