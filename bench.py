@@ -252,7 +252,7 @@ def main():
                     continue
                 print(f"[render bench] algo={algo} grp={grp}: {ms:.2f} ms/frame",
                       file=sys.stderr)
-                if best is None or ms < best[1]:
+                if best is None or ms < best[2]:
                     best = (algo, grp, ms, fwd, img)
             if best is None:
                 raise RuntimeError(

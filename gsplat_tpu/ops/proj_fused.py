@@ -473,12 +473,15 @@ def project_and_sh_fused(
     n_pad = -(-n // G) * G
     k3 = max(8, 3 * K)  # sublane-friendly minimum
     wide = os.environ.get("GSPLAT_PROLOGUE_WIDE", "1") != "0"
-    # Gaussian-major input layout (default on, wide only): attr/SH stay
-    # (N, F) and the lane transpose happens inside the kernel
-    # (_gm_to_wide) — the XLA-side (N,48).T + wide split was 4.77 ms of
-    # the 6.45 ms prologue at 1M capacity (micro16). GSPLAT_PROLOGUE_GM=0
-    # restores the transposed-input path.
-    gm = wide and os.environ.get("GSPLAT_PROLOGUE_GM", "1") != "0"
+    # Gaussian-major input layout (opt-in, wide only): attr/SH stay (N, F)
+    # and the lane transpose happens inside the kernel (_gm_to_wide).
+    # micro16 attributed 4.77 ms of the 1M-capacity prologue to the
+    # XLA-side (N,48).T + wide split, but END-TO-END the gm spelling is
+    # neutral standalone (7.51 vs 7.56 ms at 1M) and ~0.8 ms SLOWER in the
+    # full bench train step (r5 autotune: 25.28 vs 24.44) — the isolated
+    # relayout cost does not compose; XLA overlaps it. Default off;
+    # bench.py autotunes the flag per chip.
+    gm = wide and os.environ.get("GSPLAT_PROLOGUE_GM", "0") == "1"
 
     if gm:
         def padr(x):  # pad gaussian ROWS (usually a no-op: capacity % 4096 == 0)
