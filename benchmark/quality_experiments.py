@@ -99,7 +99,9 @@ def _fresh(ds, strategy, max_sh_degree=3, evals=(1400, 3500, 7000),
         if target <= done:
             continue
         t0 = time.time()
-        tr.train(target - done)
+        # log_every doubles as the stall-watchdog heartbeat (see
+        # api.benchmark / benchmark/watchdog_run.sh).
+        tr.train(target - done, log_every=200)
         done = target
         v = tr.validate(quantize=True)
         rows.append({"step": target, "psnr": round(v["psnr"], 2),
