@@ -37,6 +37,8 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -747,9 +749,16 @@ def _fwd_kernel_pm(
                     done_b = jnp.maximum(
                         done_b, jnp.max(term, axis=0, keepdims=True)
                     )
-                    T_b = T_b * jnp.prod(
-                        jnp.where(include, one_m, 1.0), axis=0, keepdims=True
-                    )
+                    # Product over the group of the included (1-alpha)
+                    # factors. Mosaic has no reduce_prod lowering; a cyclic
+                    # roll butterfly leaves the total product in every
+                    # sublane after log2(grp) multiplies.
+                    tp = jnp.where(include, one_m, 1.0)
+                    sh = 1
+                    while sh < grp:
+                        tp = tp * pltpu.roll(tp, shift=sh, axis=0)
+                        sh *= 2
+                    T_b = T_b * tp[0:1, :]
                     return color_b, T_b, done_b, contrib_b
 
                 # Skip the group entirely once every pixel terminated.
@@ -1321,14 +1330,15 @@ def _pm_lowers() -> bool:
     """One-time eager probe: does Mosaic lower the pm kernel's ingredients
     (pltpu.roll over sublanes, reduce-multiply, dynamic-trip fori, the
     in-VMEM slab transpose, (8,C)x(8,P) dots)? Interpret mode always passes.
-    Runs under ensure_compile_time_eval (so a first call that arrives under
-    a trace cannot cache a wrong answer) with the pallas_call itself wrapped
-    in jax.jit: eager pallas dispatch on some platforms (axon) interprets
-    the kernel body with eval rules and dies on 'program_id' instead of
-    lowering through Mosaic — the r4 bench silently fell back to chunk-major
-    because of exactly that (BENCH_r04 tail). The nested jit forces a real
-    Mosaic compile even from the eval context. On failure the caller falls
-    back to the chunk-major forward, which handles every alignment."""
+    Uses the AOT path (jit(...).lower(...).compile()) and executes the
+    compiled artifact directly: on some platforms (axon) BOTH eager pallas
+    dispatch AND a jit call made under ensure_compile_time_eval route the
+    kernel body through JAX's eval trace and die on 'program_id' before
+    Mosaic ever sees the kernel — the r4/r5 benches silently fell back to
+    chunk-major because of exactly that. Lower/compile never consults the
+    ambient trace, so the probe reports the REAL Mosaic verdict (this is
+    how the r5 reduce_prod gap was finally caught). On failure the caller
+    falls back to the chunk-major forward, which handles every alignment."""
     global _pm_lowers_cache
     if _pm_lowers_cache is None:
         if _interpret():
@@ -1337,15 +1347,15 @@ def _pm_lowers() -> bool:
         try:
             import functools
 
-            with jax.ensure_compile_time_eval():
-                inst = jnp.zeros((_REPACK_BLOCK, F_PAD), jnp.float32)
-                starts = jnp.array([0, 32], jnp.int32)  # sub-aligned tile 1
-                counts = jnp.full((2,), 24, jnp.int32)
-                out = jax.jit(functools.partial(
-                    _blend_fwd_impl, grid_wh=(2, 1), n_feat=3,
-                    tiles_per_step=2, algo="pm",
-                ))(inst, starts, counts)
-                jax.block_until_ready(out[0])
+            inst = np.zeros((_REPACK_BLOCK, F_PAD), np.float32)
+            starts = np.array([0, 32], np.int32)  # sub-aligned tile 1
+            counts = np.full((2,), 24, np.int32)
+            compiled = jax.jit(functools.partial(
+                _blend_fwd_impl, grid_wh=(2, 1), n_feat=3,
+                tiles_per_step=2, algo="pm",
+            )).lower(inst, starts, counts).compile()
+            out = compiled(inst, starts, counts)
+            jax.block_until_ready(out[0])
             _pm_lowers_cache = True
         except Exception as e:
             import warnings
