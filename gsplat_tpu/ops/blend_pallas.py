@@ -1390,11 +1390,15 @@ def blend_pallas(
     # lanes. The backward refuses (see _vjp_bwd).
     assert CHUNK % chunk == 0, "chunk must divide the CHUNK=128 slab width"
     if algo is None:
-        # pm (pixel-major, sparse-tile) for sub-chunk render tables — those
-        # exist exactly because tiles are instance-sparse; chunk-major for
-        # trainable tables (it is what the backward replays).
+        # cm everywhere by default: the first TRUE on-hardware pm
+        # measurement (late r5, after the reduce_prod fix) has pm ~4%
+        # slower at the 1080p sub-chunk operating point (28.85 vs 27.72
+        # ms/frame) and ~25% slower at train scale — the dynamic group
+        # loop's per-group slices/cond overhead exceeds the masked-lane
+        # savings. pm stays as the tuned variant (bench.py contests it
+        # per chip).
         algo = os.environ.get(
-            "GSPLAT_BLEND_ALGO", "pm" if chunk < CHUNK else "cm"
+            "GSPLAT_BLEND_ALGO", "cm"
         )
     assert algo in ("cm", "pm"), f"unknown blend algo {algo!r}"
     if algo == "pm" and not _pm_lowers():
