@@ -183,13 +183,11 @@ def _gather_rows_xla(pack, padded_ids, offsets, counts, max_run):
     This replaces the reference backward's @atomic accumulation
     (render.jl:242-282) with a reduction that is scatter-free AND
     deterministic (the atomics are not). Mode select: GSPLAT_GATHER_BWD in
-    {scatter, segscan, segsum}; default scatter below _SEGSUM_MIN_INSTANCES
-    or off-TPU, segscan above (the measured in-pipeline winner at the
-    1.12M-instance quality scale: it took the step floor 334 -> 296 ms in
-    r4; "segsum" is the streaming Pallas spelling, which wins at BENCH
-    scale and is what bench.py's autotune usually picks there — the
-    un-autotuned default favors the quality operating point because that
-    is where un-autotuned runs live).
+    {scatter, segscan, segsum}; defaults by table size (see the crossover
+    notes at _SEGSUM_MIN_INSTANCES): scatter on tiny tables or off-TPU,
+    the streaming Pallas "segsum" in the mid band (the measured winner at
+    bench scale, both standalone and end-to-end), pure-XLA "segscan" at
+    the >=1M quality scale (it took the step floor 334 -> 296 ms in r4).
     """
     return _gather_rows_fwd_impl(pack, padded_ids)
 
@@ -216,11 +214,21 @@ def _gather_rows_vjp_fwd(pack, padded_ids, offsets, counts, max_run):
 # The TPU scatter lowering degrades super-linearly with instance count
 # (benchmark/micro14.py on v5e, real-binning ids): 6.6 ms at a 384k budget,
 # 68 ms at 640k, 121 ms at 1.15M — while the sort+reduce spellings scale
-# ~linearly (3.3 / 6.1 / 32 ms). Above this crossover the sort+reduce is the
-# default; below it the r3 end-to-end bench still favored the fused scatter
-# (in-pipeline it fuses tighter than standalone). GSPLAT_GATHER_BWD
+# ~linearly (segsum 4.7 / 7.9 / 37 ms; segscan 3.3 / 6.1 / 32). The r3
+# claim that the in-pipeline scatter only costs ~1.2 ms at bench scale was
+# refuted by an op-level trace of the grad closure (benchmark/trace_bwd.py,
+# late r5): the scatter fusion costs 5.27 ms/step at a 400k table, and the
+# segsum spelling won the end-to-end autotune in three consecutive bench
+# windows at the 524k autotune budget (r4 final 23.77 vs 24.70; r5 24.10
+# vs 24.42; r5-final 23.86 vs 24.52 ms fwd+bwd grad), while at a 400k
+# table the in-pipeline scatter still wins end-to-end (22.84 vs 23.63,
+# same closure) — the scatter cliff sits between 400k and 524k on v5e.
+# Defaults bracket it: scatter below _SEGSUM_MIN_INSTANCES, the streaming
+# Pallas segsum in the mid band, segscan at the >=1M quality scale (where
+# it took the step floor 334 -> 296 ms in r4). GSPLAT_GATHER_BWD
 # overrides; bench.py autotunes it on the target chip.
-_SEGSUM_MIN_INSTANCES = 512 * 1024
+_SEGSUM_MIN_INSTANCES = 448 * 1024
+_SEGSCAN_MIN_INSTANCES = 1024 * 1024
 
 
 def _gather_bwd_mode(n_instances: int) -> str:
@@ -231,8 +239,10 @@ def _gather_bwd_mode(n_instances: int) -> str:
         return mode
     if os.environ.get("GSPLAT_SEGSCAN_BWD", "0") == "1":  # legacy flag
         return "segscan"
-    if jax.default_backend() == "tpu" and n_instances >= _SEGSUM_MIN_INSTANCES:
+    if jax.default_backend() == "tpu" and n_instances >= _SEGSCAN_MIN_INSTANCES:
         return "segscan"
+    if jax.default_backend() == "tpu" and n_instances >= _SEGSUM_MIN_INSTANCES:
+        return "segsum"
     return "scatter"
 
 
